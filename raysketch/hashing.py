@@ -1,0 +1,209 @@
+"""Vectorized u64 hash kernels (NumPy, wrapping uint64 arithmetic).
+
+These are the determinism anchors of the whole engine (reference:
+/root/reference/src/bench.zig:10-14 hashes keys with one fixed hash+seed and
+every downstream structure consumes only the u64 hashes).  Everything here is
+pure NumPy over uint64 with explicit modulo-2**64 wrapping so results are
+identical across processes, partitionings and Ray task retries.
+
+Kernels:
+  - splitmix64 / SplitMix64: the seed-sequence PRNG used by filter
+    constructions for retry seeds (reference: src/xorf.zig:134, src/ribbon.zig:61).
+  - murmur64a_u64: MurmurHash64A of a u64 value with a seed -- the re-seed
+    step of the xor filter (reference: src/xorf.zig:7-9 `apply_seed`).
+  - hash_bytes_u64 / hash_strings: chunked 8-bytes-at-a-time string hash
+    ("gxh64") playing the role of the reference's XxHash3-over-key-bytes
+    (src/bench.zig:10-14).  Not byte-compatible with XxHash3 (no xxhash wheel
+    in this environment); same contract: uniform u64 over arbitrary byte keys,
+    fixed seed, vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+U64 = np.uint64
+MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+_SM64_GAMMA = 0x9E3779B97F4A7C15
+_SM64_M1 = 0xBF58476D1CE4E5B9
+_SM64_M2 = 0x94D049BB133111EB
+
+_MUR_M = U64(0xC6A4A7935BD1E995)
+
+# gxh64 constants (odd 64-bit multipliers; avalanche is murmur-style).
+_GX_P1 = U64(0x9E3779B185EBCA87)
+_GX_P2 = U64(0xC2B2AE3D27D4EB4F)
+_GX_P3 = U64(0x165667B19E3779F9)
+_GX_P4 = U64(0x27D4EB2F165667C5)
+
+DEFAULT_SEED = 0  # reference uses XxHash3 seed 0: src/bench.zig:12
+
+
+def splitmix64(seed: int):
+    """Scalar SplitMix64 generator -> callable returning the next u64.
+
+    Mirrors std.Random.SplitMix64 (used for construction retry seeds at
+    reference src/xorf.zig:134-149 and src/ribbon.zig:61-73).  Python-int
+    implementation: seed schedules are tiny and driver-side.
+    """
+    state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next_u64() -> int:
+        nonlocal state
+        state = (state + _SM64_GAMMA) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * _SM64_M1) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * _SM64_M2) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    return next_u64
+
+
+def murmur64a_u64(h: np.ndarray, seed: int) -> np.ndarray:
+    """MurmurHash64A of each u64 in `h` (as 8 LE bytes) with `seed`.
+
+    Semantics of the reference's xorf re-seed step `apply_seed`
+    (src/xorf.zig:7-9 -> std.hash.Murmur2_64.hashUint64WithSeed).
+    """
+    h = np.asarray(h, dtype=U64)
+    with np.errstate(over="ignore"):
+        acc = U64(seed & 0xFFFFFFFFFFFFFFFF) ^ (U64(8) * _MUR_M)
+        k = h * _MUR_M
+        k ^= k >> U64(47)
+        k *= _MUR_M
+        acc = acc ^ k
+        acc *= _MUR_M
+        acc ^= acc >> U64(47)
+        acc *= _MUR_M
+        acc ^= acc >> U64(47)
+    return acc
+
+
+def _avalanche(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h ^= h >> U64(33)
+        h *= _GX_P2
+        h ^= h >> U64(29)
+        h *= _GX_P3
+        h ^= h >> U64(32)
+    return h
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], data[uint8]) for a string/binary Arrow array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(t):
+        arr = arr.cast(pa.large_binary())
+    elif not pa.types.is_large_binary(t):
+        raise TypeError(f"expected string/binary column, got {t}")
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=arr.offset + len(arr) + 1)[arr.offset:]
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.zeros(0, dtype=np.uint8))
+    return offsets, data
+
+
+_BYTE_SHIFTS = (U64(8) * np.arange(8, dtype=U64))
+_ARANGE8 = np.arange(8, dtype=np.int64)
+
+
+def hash_bytes_u64(offsets: np.ndarray, data: np.ndarray,
+                   seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Hash n variable-length byte strings described by (offsets, data).
+
+    Chunked kernel: processes 8 input bytes per round, each round fully
+    vectorized over all still-active rows; rounds = ceil(max_len/8).
+    """
+    starts = offsets[:-1]
+    lens = (offsets[1:] - starts).astype(np.int64)
+    n = len(starts)
+    with np.errstate(over="ignore"):
+        acc = (U64(seed & 0xFFFFFFFFFFFFFFFF) ^ (lens.astype(U64) * _GX_P1)) + _GX_P4
+        if n == 0:
+            return acc
+        max_len = int(lens.max()) if n else 0
+        if max_len > 0:
+            padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+            active_idx = np.arange(n)
+            astarts, alens, aacc = starts, lens, acc
+            for j in range(0, max_len, 8):
+                if j > 0:
+                    keep = alens > j
+                    if not keep.all():
+                        active_idx = active_idx[keep]
+                        astarts = astarts[keep]
+                        alens = alens[keep]
+                        aacc = aacc[keep]
+                gather = padded[(astarts + j)[:, None] + _ARANGE8]
+                rem = np.clip(alens - j, 0, 8)
+                gather = np.where(_ARANGE8 < rem[:, None], gather, 0)
+                word = np.bitwise_or.reduce(
+                    gather.astype(U64) << _BYTE_SHIFTS, axis=1)
+                aacc = aacc ^ (word * _GX_P2)
+                aacc = ((aacc << U64(31)) | (aacc >> U64(33))) * _GX_P3 + _GX_P4
+                acc[active_idx] = aacc
+        return _avalanche(acc)
+
+
+def hash_strings(col, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """u64 hash of an Arrow string/binary column (vectorized)."""
+    offsets, data = _string_buffers(col)
+    return hash_bytes_u64(offsets, data, seed)
+
+
+def hash_ints(col, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """u64 hash of an integer column/array (murmur64a of the value)."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        vals = np.asarray(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+    else:
+        vals = np.asarray(col)
+    return murmur64a_u64(vals.astype(np.int64).view(U64), seed)
+
+
+def hash_column(col, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Dispatch: string/binary -> gxh64, integer -> murmur64a."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        t = col.type
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            return hash_strings(col, seed)
+        return hash_ints(col, seed)
+    arr = np.asarray(col)
+    if arr.dtype.kind in "iu":
+        return hash_ints(arr, seed)
+    return hash_strings(pa.array(arr.astype(object)), seed)
+
+
+def partition_ids(hashes: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Multiply-shift range reduction of the HIGH 32 bits -> [0, P).
+
+    Uses the high half so it stays independent of SBBF's block routing,
+    which consumes the low 32 bits (reference src/sbbf.zig:54-58).
+    Same fixed-point reduce idiom as src/sbbf.zig:28-30.
+    """
+    h_hi = (np.asarray(hashes, dtype=U64) >> U64(32))
+    with np.errstate(over="ignore"):
+        return ((U64(num_partitions) * h_hi) >> U64(32)).astype(np.uint32)
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Count of leading zero bits for each u64 (vectorized, integer-exact)."""
+    x = np.asarray(x, dtype=U64)
+    shift = np.zeros(x.shape, dtype=U64)
+    v = x.copy()
+    for bits in (32, 16, 8, 4, 2, 1):
+        b = U64(bits)
+        has_high = (v >> b) != 0
+        v = np.where(has_high, v >> b, v)
+        shift = np.where(has_high, shift + b, shift)
+    return np.where(x == 0, 64, 63 - shift.astype(np.int64))

@@ -1,0 +1,94 @@
+"""Sketch ABC, binary envelope and registry.
+
+Mirrors the reference's uniform duck-typed filter interface
+(`init/check/mem_usage/ideal_mem_usage`, consumed generically by the test
+matrix at /root/reference/src/tests.zig:97-126) as a Python ABC with explicit
+serialization, because in the new engine sketch state crosses process/node
+boundaries through the Ray object store and Parquet checkpoints.
+
+Envelope format (stable, self-describing, no pickle):
+  MAGIC 'RSK1' | u32 header_len | header json (kind, meta, array specs) |
+  raw little-endian array payloads concatenated.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+_MAGIC = b"RSK1"
+
+
+def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
+    specs = []
+    payloads = []
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        specs.append({"name": name, "dtype": arr.dtype.str, "shape": list(arr.shape)})
+        payloads.append(arr.tobytes())
+    header = json.dumps({"kind": kind, "meta": meta, "arrays": specs},
+                        separators=(",", ":")).encode()
+    return b"".join([_MAGIC, struct.pack("<I", len(header)), header, *payloads])
+
+
+def unpack(blob: bytes) -> tuple[str, dict, dict[str, np.ndarray]]:
+    if blob[:4] != _MAGIC:
+        raise ValueError("bad sketch envelope magic")
+    (hlen,) = struct.unpack_from("<I", blob, 4)
+    header = json.loads(blob[8:8 + hlen].decode())
+    arrays = {}
+    off = 8 + hlen
+    for spec in header["arrays"]:
+        dt = np.dtype(spec["dtype"])
+        count = int(np.prod(spec["shape"])) if spec["shape"] else 1
+        nbytes = dt.itemsize * count
+        arrays[spec["name"]] = np.frombuffer(
+            blob, dtype=dt, count=count, offset=off).reshape(spec["shape"])
+        off += nbytes
+    return header["kind"], header["meta"], arrays
+
+
+class Sketch(ABC):
+    """Common surface: build/update/check/estimate + envelope round-trip."""
+
+    kind: str = "?"
+    #: mergeable sketches support `merge` with associative+commutative
+    #: semantics (SBBF or, HLL max, CMS add, KLL/t-digest compactor merge);
+    #: holistic ones (xorf, ribbon) are built per-partition in one shot
+    #: (reference: global solves at src/xorf.zig:111-220, src/ribbon.zig:51-139).
+    mergeable: bool = False
+
+    @abstractmethod
+    def to_bytes(self) -> bytes: ...
+
+    @classmethod
+    @abstractmethod
+    def from_bytes(cls, blob: bytes) -> "Sketch": ...
+
+    def mem_usage(self) -> int:
+        raise NotImplementedError
+
+    def ideal_mem_usage(self) -> int:
+        raise NotImplementedError
+
+
+REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    REGISTRY[cls.kind] = cls
+    return cls
+
+
+def sketch_from_bytes(blob: bytes) -> Sketch:
+    kind, _, _ = unpack(blob)
+    try:
+        cls = REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"unknown sketch kind {kind!r}") from None
+    return cls.from_bytes(blob)

@@ -1,0 +1,234 @@
+"""Ribbon filter (banded GF(2) system + smash) -- holistic per-partition.
+
+Semantics re-derived from /root/reference/src/ribbon.zig (paper:
+arXiv:2103.02515).  Start position with "smash" clamping at
+src/ribbon.zig:9-17; coefficient rows at src/ribbon.zig:22-35 (constants
+coeff_factor0/1 at :19-20); result rows at :46-49; incremental banded Gaussian
+elimination with space-multiplier sweep 103%..140%, 3 seed tries each, at
+src/ribbon.zig:51-139 (SplitMix64 chain from initial seed 12,
+src/ribbon.zig:208); probe at src/ribbon.zig:141-192.
+
+NOT a port: back-substitution uses the closed form derived from the
+reference's per-bit-column shift-register recurrence:
+
+    sol[i] = rr[i] ^ XOR_{k in 1..W-1, coeff[i] bit k set} sol[i+k]
+
+(sol rows past the end are zero, matching the zero-initialized `state` at
+src/ribbon.zig:112-113), and the probe is fully vectorized NumPy.  The
+insertion cascade is inherently sequential, so construct() runs it as a
+tight Python-int loop per partition; partitions build in parallel as Ray
+tasks.  At real-cluster scale this inner loop is the one kernel that would
+justify a compiled extension -- flagged in its docstring, not hidden.
+
+Supported: coeff_bits in {32, 64, 128}; result_bits in {8, 16, 32}
+(byte-aligned widths only; the reference's sub-byte ResultRows store one
+result per integer anyway, src/ribbon.zig:108-131 -- we keep the aligned
+subset and document the exclusion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import U64, splitmix64
+from .base import Sketch, pack, unpack, register
+
+_COEFF_F0 = 0x876F170BE4F1FCB9  # src/ribbon.zig:19
+_COEFF_F1 = 0xF0433A4AECDA4C5F  # src/ribbon.zig:20
+_MIN_MULT = 103                 # src/ribbon.zig:52
+_MAX_MULT = 140                 # src/ribbon.zig:53
+_NUM_TRIES = 3                  # src/ribbon.zig:67
+_INIT_SEED = 12                 # src/ribbon.zig:208
+
+_RES_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32}
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _calc_size(num_hashes: int, multiplier: int, coeff_bits: int) -> int:
+    """src/ribbon.zig:37-39."""
+    return (num_hashes * multiplier + 99) // 100 + coeff_bits - 1
+
+
+def _start_pos_np(seed: int, n: int, hashes: np.ndarray,
+                  coeff_bits: int) -> np.ndarray:
+    """Vectorized src/ribbon.zig:9-17 (n = start_range)."""
+    w = coeff_bits // 8
+    hash0 = np.asarray(hashes, dtype=U64) ^ U64(seed)
+    h32 = (hash0 ^ (hash0 >> U64(32))) & U64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        smash = (U64(n + 2 * w) * h32) >> U64(32)
+    pos = np.where(smash >= U64(w), smash - U64(w), U64(0))
+    return np.minimum(pos, U64(max(n - 1, 0))).astype(np.int64)
+
+
+def _coeff_rows_np(seed: int, hashes: np.ndarray, coeff_bits: int):
+    """Vectorized src/ribbon.zig:22-35 -> (lo: u64[n], hi: u64[n] | None)."""
+    h = np.asarray(hashes, dtype=U64)
+    s = U64(seed)
+    if coeff_bits == 64:
+        return (s ^ h) | U64(1), None
+    if coeff_bits == 32:
+        return ((s ^ h) | U64(1)) & U64(0xFFFFFFFF), None
+    if coeff_bits == 128:
+        with np.errstate(over="ignore"):
+            a = (s * U64(_COEFF_F0)) ^ h
+            b = (s * U64(_COEFF_F1)) ^ _byteswap64(h)
+        return b | U64(1), a
+    raise ValueError("coeff_bits must be 32, 64 or 128")
+
+
+def _byteswap64(h: np.ndarray) -> np.ndarray:
+    return h.byteswap() if h.dtype == U64 else np.asarray(h, U64).byteswap()
+
+
+def _result_rows_np(seed: int, hashes: np.ndarray, result_bits: int):
+    """Vectorized src/ribbon.zig:46-49."""
+    h = np.asarray(hashes, dtype=U64) ^ U64(seed)
+    return ((h >> U64(32)) ^ h).astype(_RES_DTYPES[result_bits])
+
+
+def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
+    """Banded elimination build. Returns (seed, solution ndarray).
+
+    Python-int inner loop (sequential cascade, see module docstring);
+    everything derivable per-key is precomputed vectorized.
+    """
+    hashes = np.asarray(hashes, dtype=U64)
+    n = len(hashes)
+    next_seed = splitmix64(_INIT_SEED)
+    res_mask = (1 << result_bits) - 1
+
+    for multiplier in range(_MIN_MULT, _MAX_MULT + 1):
+        size = _calc_size(n, multiplier, coeff_bits)
+        start_range = size + 1 - coeff_bits
+        for _ in range(_NUM_TRIES):
+            seed = next_seed()
+            pos_arr = _start_pos_np(seed, start_range, hashes, coeff_bits)
+            lo, hi = _coeff_rows_np(seed, hashes, coeff_bits)
+            if hi is None:
+                cr_list = lo.tolist()
+            else:
+                cr_list = [(int(a) << 64) | int(b)
+                           for a, b in zip(hi.tolist(), lo.tolist())]
+            rr_list = _result_rows_np(seed, hashes, result_bits).tolist()
+            pos_list = pos_arr.tolist()
+
+            coeff = [0] * size
+            result = [0] * size
+            ok = True
+            for idx in range(n):
+                pos = pos_list[idx]
+                cr = cr_list[idx]
+                rr = rr_list[idx]
+                while True:
+                    existing = coeff[pos]
+                    if existing == 0:
+                        coeff[pos] = cr
+                        result[pos] = rr
+                        break
+                    cr ^= existing
+                    rr ^= result[pos]
+                    if cr == 0:
+                        if rr == 0:
+                            break  # duplicate key -> consistent, accept
+                        ok = False
+                        break      # inconsistent -> retry w/ next seed
+                    tz = (cr & -cr).bit_length() - 1
+                    pos += tz
+                    cr >>= tz
+                if not ok:
+                    break
+            if not ok:
+                continue
+
+            # Back-substitution: sol[i] = rr[i] ^ XOR of sol[i+k] for set
+            # coefficient bits k>=1 (rows past the end are zero).
+            sol = [0] * (size + coeff_bits)
+            for i in range(size - 1, -1, -1):
+                acc = result[i]
+                c = coeff[i] >> 1
+                k = 1
+                while c:
+                    tz = (c & -c).bit_length() - 1
+                    k += tz
+                    acc ^= sol[i + k]
+                    c >>= tz + 1
+                    k += 1
+                sol[i] = acc & res_mask
+            solution = np.array(sol[:size], dtype=_RES_DTYPES[result_bits])
+            return seed, solution
+
+    raise RuntimeError(
+        f"ribbon construction failed (n={n}, coeff_bits={coeff_bits})")
+
+
+@register
+class RibbonFilter(Sketch):
+    kind = "ribbon"
+    mergeable = False
+
+    def __init__(self, seed: int, solution: np.ndarray, coeff_bits: int,
+                 result_bits: int, num_keys: int = 0):
+        self.seed = int(seed)
+        self.solution = np.ascontiguousarray(solution)
+        self.coeff_bits = int(coeff_bits)
+        self.result_bits = int(result_bits)
+        self.num_keys = int(num_keys)
+
+    @classmethod
+    def build(cls, hashes: np.ndarray, coeff_bits: int = 64,
+              result_bits: int = 16) -> "RibbonFilter":
+        hashes = np.unique(np.asarray(hashes, dtype=U64))  # dedup contract
+        if len(hashes) == 0:
+            return cls(0, np.zeros(0, dtype=_RES_DTYPES[result_bits]),
+                       coeff_bits, result_bits, 0)
+        seed, sol = construct(hashes, coeff_bits, result_bits)
+        return cls(seed, sol, coeff_bits, result_bits, num_keys=len(hashes))
+
+    def check(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe -- semantics of src/ribbon.zig:141-192."""
+        hashes = np.asarray(hashes, dtype=U64)
+        nq = hashes.size
+        if nq == 0:
+            return np.zeros(0, dtype=bool)
+        size = len(self.solution)
+        if size == 0:
+            return np.zeros(nq, dtype=bool)
+        cb = self.coeff_bits
+        start_range = size + 1 - cb
+        pos = _start_pos_np(self.seed, start_range, hashes, cb)
+        lo, hi = _coeff_rows_np(self.seed, hashes, cb)
+        expected = _result_rows_np(self.seed, hashes, self.result_bits)
+        padded = np.concatenate(
+            [self.solution, np.zeros(cb, dtype=self.solution.dtype)])
+        window = padded[pos[:, None] + np.arange(cb)]
+        rdt = self.solution.dtype.type
+        halves = [(lo, 0)] if hi is None else [(lo, 0), (hi, 64)]
+        acc = np.zeros(nq, dtype=self.solution.dtype)
+        for half, base in halves:
+            nbits = min(64, cb)
+            shifts = np.arange(nbits, dtype=U64)
+            bits = ((half[:, None] >> shifts[None, :]) & U64(1)) != 0
+            sel = np.where(bits, window[:, base:base + nbits], rdt(0))
+            acc = acc ^ np.bitwise_xor.reduce(sel, axis=1)
+        return acc == expected
+
+    def to_bytes(self) -> bytes:
+        return pack(self.kind,
+                    {"seed": self.seed, "coeff_bits": self.coeff_bits,
+                     "result_bits": self.result_bits,
+                     "num_keys": self.num_keys},
+                    {"solution": self.solution})
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "RibbonFilter":
+        kind, meta, arrays = unpack(blob)
+        assert kind == cls.kind
+        return cls(meta["seed"], arrays["solution"].copy(),
+                   meta["coeff_bits"], meta["result_bits"], meta["num_keys"])
+
+    def mem_usage(self) -> int:
+        return self.solution.size * self.result_bits // 8  # src/ribbon.zig:227-229
+
+    def ideal_mem_usage(self) -> int:
+        return self.num_keys * self.result_bits // 8  # src/ribbon.zig:231-233

@@ -1,0 +1,126 @@
+"""Split-block Bloom filter (Parquet-spec blocks), vectorized + mergeable.
+
+Semantics re-derived from /root/reference/src/sbbf.zig (NOT a port of the Zig
+SIMD code): 64-byte blocks of 8 u64 words; per key one block chosen by
+multiply-shift on the hash's low 32 bits (src/sbbf.zig:28-30,54-58) and an
+8-bit mask derived with the 8 Parquet SALT constants
+(src/sbbf.zig:72-80).  Because insertion is bitwise-OR, partial filters over
+disjoint (or overlapping) key subsets merge by OR -- associative and
+commutative -- which is what makes SBBF the mergeable-UDAF filter in the Ray
+pipeline (per-batch partial state, tree merge in groupby-aggregate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import U64, MASK64
+from .base import Sketch, pack, unpack, register
+
+BLOCK_SIZE = 64  # bytes per block (8 x u64), src/sbbf.zig:7
+
+# Parquet split-block Bloom salt constants, src/sbbf.zig:80
+SALT = np.array([0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+                 0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31], dtype=U64)
+
+
+def num_blocks_for(n_keys: int, bits_per_key: int) -> int:
+    """ceil(bits_per_key*n/8) bytes rounded up to a whole 64B block.
+
+    Matches the sizing in src/sbbf.zig:95 (next_multiple_of(..., 64)).
+    """
+    nbytes = (bits_per_key * n_keys + 7) // 8
+    nblocks = (nbytes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    return max(1, nblocks)
+
+
+def _block_index(num_blocks: int, hashes: np.ndarray) -> np.ndarray:
+    """(num_blocks * low32(h)) >> 32 -- src/sbbf.zig:28-30,55."""
+    lo = hashes & U64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        return (U64(num_blocks) * lo) >> U64(32)
+
+
+def _make_mask(hashes: np.ndarray) -> np.ndarray:
+    """(n, 8) u64: one bit set per word, per src/sbbf.zig:72-80."""
+    with np.errstate(over="ignore"):
+        x = (hashes[:, None] * SALT[None, :]) >> U64(27)
+    return U64(1) << (x & U64(63))
+
+
+@register
+class SbbfFilter(Sketch):
+    kind = "sbbf"
+    mergeable = True
+
+    def __init__(self, words: np.ndarray, bits_per_key: int,
+                 num_keys: int = 0):
+        # words: flat (num_blocks * 8,) u64
+        self.words = np.ascontiguousarray(words, dtype=U64)
+        self.num_blocks = len(self.words) // 8
+        self.bits_per_key = int(bits_per_key)
+        self.num_keys = int(num_keys)
+
+    # --- construction ----------------------------------------------------
+    @classmethod
+    def create(cls, num_blocks: int, bits_per_key: int) -> "SbbfFilter":
+        return cls(np.zeros(num_blocks * 8, dtype=U64), bits_per_key)
+
+    @classmethod
+    def build(cls, hashes: np.ndarray, bits_per_key: int = 10,
+              num_blocks: int | None = None) -> "SbbfFilter":
+        """Build-once over a hash array (dedup not required: OR is idempotent)."""
+        hashes = np.asarray(hashes, dtype=U64)
+        n = int(np.unique(hashes).size)
+        if num_blocks is None:
+            num_blocks = num_blocks_for(n, bits_per_key)
+        f = cls.create(num_blocks, bits_per_key)
+        f.insert(hashes)
+        f.num_keys = n
+        return f
+
+    def insert(self, hashes: np.ndarray) -> None:
+        hashes = np.asarray(hashes, dtype=U64)
+        if hashes.size == 0:
+            return
+        idx = _block_index(self.num_blocks, hashes).astype(np.int64)
+        mask = _make_mask(hashes)
+        flat_pos = (idx[:, None] * 8 + np.arange(8)).ravel()
+        np.bitwise_or.at(self.words, flat_pos, mask.ravel())
+
+    def merge(self, other: "SbbfFilter") -> "SbbfFilter":
+        if other.num_blocks != self.num_blocks:
+            raise ValueError("SBBF merge requires identical num_blocks")
+        self.words |= other.words
+        self.num_keys += other.num_keys  # upper bound (dups across partials)
+        return self
+
+    # --- probe ------------------------------------------------------------
+    def check(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=U64)
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = _block_index(self.num_blocks, hashes).astype(np.int64)
+        mask = _make_mask(hashes)
+        blocks = self.words[(idx[:, None] * 8 + np.arange(8))]
+        return ((blocks & mask) == mask).all(axis=1)
+
+    # --- serialization / metrics -----------------------------------------
+    def to_bytes(self) -> bytes:
+        return pack(self.kind,
+                    {"bits_per_key": self.bits_per_key,
+                     "num_keys": self.num_keys},
+                    {"words": self.words})
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "SbbfFilter":
+        kind, meta, arrays = unpack(blob)
+        assert kind == cls.kind
+        return cls(arrays["words"].copy(), meta["bits_per_key"],
+                   meta["num_keys"])
+
+    def mem_usage(self) -> int:
+        return self.num_blocks * BLOCK_SIZE  # src/sbbf.zig:117-119
+
+    def ideal_mem_usage(self) -> int:
+        return self.num_keys * self.bits_per_key // 8  # src/sbbf.zig:121-123
