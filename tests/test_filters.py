@@ -1,0 +1,135 @@
+"""Membership-filter matrix tests, mirroring the reference's strategy
+(/root/reference/src/tests.zig): one generic body instantiated over every
+filter configuration; empty build; the 42-hash regression vector; a 10k
+pseudo-random smoke set with the zero-false-negative invariant; PLUS
+(north-rule additions absent from the reference) measured-FPR-under-target
+checks and SBBF merge-associativity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raysketch.sketches import SbbfFilter, XorFilter, RibbonFilter
+
+# (name, build_fn, fpr_target) -- the configuration matrix, echoing the
+# FILTERS type list of src/tests.zig:97-126 restricted to byte-aligned
+# widths (sub-byte widths are declared broken in the reference README:19-20).
+CONFIGS = [
+    ("sbbf8", lambda h: SbbfFilter.build(h, bits_per_key=8), 0.03),
+    ("sbbf10", lambda h: SbbfFilter.build(h, bits_per_key=10), 0.015),
+    ("sbbf16", lambda h: SbbfFilter.build(h, bits_per_key=16), 0.002),
+    ("sbbf24", lambda h: SbbfFilter.build(h, bits_per_key=24), 5e-4),
+    ("xorf3_8", lambda h: XorFilter.build(h, fp_bits=8, arity=3), 3 * (1 / 256)),
+    ("xorf4_8", lambda h: XorFilter.build(h, fp_bits=8, arity=4), 3 * (1 / 256)),
+    ("xorf3_16", lambda h: XorFilter.build(h, fp_bits=16, arity=3), 3 * (1 / 65536)),
+    ("xorf4_16", lambda h: XorFilter.build(h, fp_bits=16, arity=4), 3 * (1 / 65536)),
+    ("xorf3_32", lambda h: XorFilter.build(h, fp_bits=32, arity=3), 1e-6),
+    ("ribbon32_8", lambda h: RibbonFilter.build(h, 32, 8), 3 * (1 / 256)),
+    ("ribbon64_8", lambda h: RibbonFilter.build(h, 64, 8), 3 * (1 / 256)),
+    ("ribbon64_16", lambda h: RibbonFilter.build(h, 64, 16), 3 * (1 / 65536)),
+    ("ribbon64_32", lambda h: RibbonFilter.build(h, 64, 32), 1e-6),
+    ("ribbon128_16", lambda h: RibbonFilter.build(h, 128, 16), 3 * (1 / 65536)),
+]
+
+IDS = [c[0] for c in CONFIGS]
+
+
+def _smoke_hashes(n=10000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("name,build,_t", CONFIGS, ids=IDS)
+def test_empty_build(name, build, _t):
+    # reference src/tests.zig:8-11: build on zero keys must succeed
+    f = build(np.array([], dtype=np.uint64))
+    assert f.check(_smoke_hashes(100)).sum() <= 2  # near-nothing passes
+
+
+@pytest.mark.parametrize("name,build,_t", CONFIGS, ids=IDS)
+def test_regression_vector(name, build, _t, reg42):
+    # reference src/tests.zig:13-21
+    f = build(reg42)
+    assert f.check(reg42).all()
+
+
+@pytest.mark.parametrize("name,build,_t", CONFIGS, ids=IDS)
+def test_smoke_no_false_negatives(name, build, _t):
+    # reference src/tests.zig:23-40: every inserted hash must check true
+    h = _smoke_hashes()
+    f = build(h)
+    assert f.check(h).all()
+    # serialization round-trip preserves behaviour
+    f2 = type(f).from_bytes(f.to_bytes())
+    assert f2.check(h).all()
+
+
+@pytest.mark.parametrize("name,build,target", CONFIGS, ids=IDS)
+def test_fpr_under_target(name, build, target):
+    # north-rule addition: measured FPR <= configured target on known-absent
+    # keys (the reference only observes FPR in its bench, src/bench.zig:229-231)
+    h = _smoke_hashes(20000, seed=1)
+    f = build(h)
+    absent = np.setdiff1d(_smoke_hashes(120000, seed=2), h)
+    fpr = float(f.check(absent).mean())
+    assert fpr <= target, f"{name}: fpr={fpr} > target={target}"
+
+
+def test_single_and_duplicate_keys():
+    # FIXTURES.md F4: single key; all-identical keys collapse to 1 after dedup
+    one = np.array([12345], dtype=np.uint64)
+    dup = np.full(100, 777, dtype=np.uint64)
+    for _, build, _t in CONFIGS:
+        f1 = build(one)
+        assert f1.check(one).all()
+        fd = build(dup)
+        assert fd.check(dup[:1]).all()
+        assert fd.num_keys == 1
+
+
+def test_sbbf_merge_bit_identical():
+    # SBBF partial states merge by OR: any partitioning + merge order gives
+    # bit-identical words (the mergeable-UDAF contract)
+    h = _smoke_hashes(30000, seed=5)
+    nb = SbbfFilter.num_blocks_for if hasattr(SbbfFilter, "num_blocks_for") else None
+    from raysketch.sketches import num_blocks_for
+    nblocks = num_blocks_for(len(h), 10)
+    whole = SbbfFilter.create(nblocks, 10)
+    whole.insert(h)
+    rng = np.random.default_rng(9)
+    for k in (2, 7, 32):
+        for trial in range(2):
+            parts = np.array_split(rng.permutation(h), k)
+            merged = SbbfFilter.create(nblocks, 10)
+            order = rng.permutation(k)
+            for i in order:
+                p = SbbfFilter.create(nblocks, 10)
+                p.insert(parts[i])
+                merged.merge(p)
+            assert (merged.words == whole.words).all()
+
+
+def test_sbbf_space_overhead_is_zero():
+    # src/sbbf.zig sizing: mem == ceil(bits*n/8) rounded to 64B -> ~0% overhead
+    h = _smoke_hashes(50000, seed=11)
+    f = SbbfFilter.build(h, bits_per_key=24)
+    assert f.mem_usage() - f.ideal_mem_usage() <= 64
+
+
+def test_xorf_space_overhead_matches_reference_scale():
+    # reference bench at 1M keys/section: xorf3_16 ~14.8% overhead
+    # (bench_result_low_hit.txt:6); at smaller n the size factor is larger.
+    h = _smoke_hashes(100000, seed=13)
+    f = XorFilter.build(h, fp_bits=16, arity=3)
+    overhead = f.mem_usage() / f.ideal_mem_usage() - 1
+    assert overhead < 0.30
+
+
+def test_ribbon_space_overhead_small():
+    # ribbon should land near the low end of the 103..140% multiplier sweep
+    h = _smoke_hashes(100000, seed=17)
+    f = RibbonFilter.build(h, 64, 16)
+    overhead = f.mem_usage() / f.ideal_mem_usage() - 1
+    assert overhead < 0.10

@@ -1,0 +1,124 @@
+"""Mergeable-sketch bound + merge-associativity property tests (north rule:
+estimates within published error bounds regardless of partition count or
+merge order; FIXTURES.md F5 partitionings k in {1,2,7,32})."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raysketch.hashing import hash_ints
+from raysketch.sketches import CmsSketch, HllSketch, KllSketch, TDigest
+
+PARTITIONINGS = [1, 2, 7, 32]
+
+
+def _merged(cls_create, update_args_parts, seed):
+    rng = np.random.default_rng(seed)
+    acc = cls_create()
+    order = rng.permutation(len(update_args_parts))
+    for i in order:
+        s = cls_create()
+        s.update(update_args_parts[i])
+        acc.merge(s)
+    return acc
+
+
+def test_hll_bound_and_bitwise_merge():
+    n = 200000
+    h = hash_ints(np.arange(n), seed=21)
+    whole = HllSketch.create(p=14)
+    whole.update(h)
+    est = whole.estimate()
+    assert abs(est - n) / n < 3 * whole.rel_error()
+    rng = np.random.default_rng(3)
+    for k in PARTITIONINGS:
+        for trial in range(3):
+            parts = np.array_split(rng.permutation(h), k)
+            m = _merged(lambda: HllSketch.create(p=14), parts, seed=trial)
+            assert (m.registers == whole.registers).all(), (k, trial)
+
+
+def test_hll_small_range_linear_counting():
+    for n in (5, 50, 500):
+        s = HllSketch.create(p=12)
+        s.update(hash_ints(np.arange(n), seed=2))
+        assert abs(s.estimate() - n) <= max(2, 0.03 * n)
+
+
+def test_cms_never_undercounts_and_bitwise_merge():
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 100000).astype(np.int64)
+    h = hash_ints(keys)
+    whole = CmsSketch.create(depth=4, width=1 << 14)
+    whole.update(h)
+    uniq, counts = np.unique(keys, return_counts=True)
+    est = whole.query(hash_ints(uniq))
+    over = est - counts
+    assert (over >= 0).all()
+    assert over.max() <= np.e / (1 << 14) * len(keys) * 3  # cN bound, slack 3x
+    for k in PARTITIONINGS:
+        parts = np.array_split(h, k)
+        m = _merged(lambda: CmsSketch.create(depth=4, width=1 << 14),
+                    parts, seed=k)
+        assert (m.table == whole.table).all()
+
+
+def test_cms_weighted_updates():
+    s = CmsSketch.create(depth=4, width=1 << 12)
+    h = hash_ints(np.array([1, 2, 3]))
+    s.update(h, counts=np.array([10, 20, 30]))
+    assert (s.query(h) >= np.array([10, 20, 30])).all()
+    assert s.total() == 60
+
+
+@pytest.mark.parametrize("k", PARTITIONINGS)
+def test_kll_rank_error_bound_any_partitioning(k):
+    rng = np.random.default_rng(77)
+    vals = rng.lognormal(6, 1.5, 150000)
+    parts = np.array_split(rng.permutation(vals), k)
+    m = _merged(lambda: KllSketch.create(k=200), parts, seed=k)
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    est = m.quantile(qs)
+    svals = np.sort(vals)
+    ranks = np.searchsorted(svals, est) / len(vals)
+    assert np.abs(ranks - qs).max() < 0.025, ranks - qs
+
+
+@pytest.mark.parametrize("k", [1, 2, 7])
+def test_tdigest_rank_error_bound_any_partitioning(k):
+    rng = np.random.default_rng(99)
+    vals = rng.normal(100, 15, 60000)
+    parts = np.array_split(rng.permutation(vals), k)
+    m = _merged(lambda: TDigest.create(delta=200), parts, seed=k)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    est = m.quantile(qs)
+    ranks = np.searchsorted(np.sort(vals), est) / len(vals)
+    assert np.abs(ranks - qs).max() < 0.02
+
+
+def test_kll_min_max_and_extremes():
+    s = KllSketch.create(k=128)
+    v = np.arange(10000, dtype=np.float64)
+    s.update(v)
+    assert s.quantile(0.0) == 0.0
+    assert s.quantile(1.0) == 9999.0
+
+
+def test_serialization_roundtrip_all():
+    h = hash_ints(np.arange(1000))
+    vals = np.linspace(0, 1, 1000)
+    sketches = []
+    s = HllSketch.create(p=10); s.update(h); sketches.append(s)
+    s = CmsSketch.create(4, 1 << 10); s.update(h); sketches.append(s)
+    s = KllSketch.create(k=64); s.update(vals); sketches.append(s)
+    s = TDigest.create(delta=100); s.update(vals); sketches.append(s)
+    from raysketch.sketches import sketch_from_bytes
+    for s in sketches:
+        blob = s.to_bytes()
+        s2 = sketch_from_bytes(blob)
+        assert type(s2) is type(s)
+        if hasattr(s, "estimate"):
+            assert s2.estimate() == s.estimate()
+        if hasattr(s, "quantile"):
+            assert s2.quantile(0.5) == s.quantile(0.5)
