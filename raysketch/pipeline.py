@@ -1,0 +1,267 @@
+"""Build / probe / checkpoint pipelines -- the Ray-Data shape of the
+reference's bench job (/root/reference/src/bench.zig:195-249), re-expressed:
+
+    read_parquet -> map_batches(hash keys, assign partition_id)   [stateless]
+      -> project to (pid:u32, h:u64) ONLY (wide columns never shuffle)
+      -> groupby(pid).map_groups(build)        [holistic: xorf/ribbon/sbbf]
+         or per-batch partial + tree merge     [mergeable: sbbf "merge" path]
+      -> filter-table Dataset {partition_id, kind, params, payload, metrics}
+      -> write_parquet checkpoint (resume = build only missing partitions)
+
+    probe: ray.put(filter blobs) once -> map_batches(Prober actor pool):
+    each actor deserializes the filter table once in __init__ and checks
+    batches vectorized (the reference's query loop, src/bench.zig:221-235).
+
+Partitions play the reference's "sections" role (one filter per section,
+src/bench.zig:36-50); partition_id = multiply-shift on the key hash's high
+32 bits, uniform by construction, so url-keyed builds need no skew handling
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import U64, hash_column, partition_ids
+from .sketches import FILTER_KINDS, SbbfFilter, num_blocks_for, sketch_from_bytes
+
+FILTER_TABLE_SCHEMA = pa.schema([
+    ("partition_id", pa.int32()),
+    ("kind", pa.string()),
+    ("params", pa.string()),        # json
+    ("num_partitions", pa.int32()),
+    ("payload", pa.large_binary()),
+    ("n_keys", pa.int64()),         # distinct keys in partition
+    ("n_rows", pa.int64()),         # raw rows seen (pre-dedup)
+    ("build_s", pa.float64()),
+    ("mem_bytes", pa.int64()),
+    ("ideal_bytes", pa.int64()),
+])
+
+
+def hashed_keys(ds, key_col: str, num_partitions: int, seed: int = 0):
+    """Dataset of (pid:uint32, h:uint64): hash + partition assignment, with
+    everything else projected away BEFORE any shuffle (SURVEY.md §7.4.6)."""
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch[key_col], seed)
+        pid = partition_ids(h, num_partitions)
+        return pa.table({"pid": pa.array(pid, pa.uint32()),
+                         "h": pa.array(h, pa.uint64())})
+    return ds.map_batches(_hash, batch_format="pyarrow")
+
+
+def _build_one(kind: str, params: dict, hashes: np.ndarray,
+               pid: int, num_partitions: int) -> dict:
+    t0 = time.perf_counter()
+    uniq = np.unique(np.asarray(hashes, dtype=U64))  # sort+dedup contract,
+    # reference src/bench.zig:258-280 (xorf/ribbon hard-require it)
+    cls = FILTER_KINDS[kind]
+    if kind == "sbbf":
+        nb = params.get("num_blocks") or num_blocks_for(
+            len(uniq), params.get("bits_per_key", 10))
+        f = SbbfFilter.create(nb, params.get("bits_per_key", 10))
+        f.insert(uniq)
+        f.num_keys = len(uniq)
+    else:
+        f = cls.build(uniq, **{k: v for k, v in params.items()
+                               if k != "num_blocks"})
+    build_s = time.perf_counter() - t0
+    return {
+        "partition_id": int(pid), "kind": kind,
+        "params": json.dumps(params, sort_keys=True),
+        "num_partitions": int(num_partitions),
+        "payload": f.to_bytes(), "n_keys": int(f.num_keys),
+        "n_rows": int(len(hashes)), "build_s": build_s,
+        "mem_bytes": int(f.mem_usage()), "ideal_bytes": int(f.ideal_mem_usage()),
+    }
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    cols = {name: [r[name] for r in rows] for name in FILTER_TABLE_SCHEMA.names}
+    return pa.table(cols).cast(FILTER_TABLE_SCHEMA)
+
+
+def build_filter_table(ds, key_col: str, kind: str = "sbbf",
+                       params: dict | None = None,
+                       num_partitions: int = 16,
+                       checkpoint_dir: str | None = None,
+                       seed: int = 0):
+    """Filter-table Dataset: one row per partition.
+
+    The groupby(pid) is the single all-to-all exchange, and it moves only
+    12 bytes/row.  With a checkpoint_dir, already-built partitions are
+    skipped (anti-join on partition_id) and only missing ones are rebuilt
+    -- the filter table IS the checkpoint (SURVEY.md §4).
+    """
+    import ray.data as rd
+
+    params = dict(params or {})
+    done: set[int] = set()
+    existing = None
+    if checkpoint_dir and os.path.isdir(checkpoint_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(checkpoint_dir)):
+        existing = rd.read_parquet(checkpoint_dir)
+        done = {int(r) for r in existing.to_pandas()["partition_id"]}
+
+    keys = hashed_keys(ds, key_col, num_partitions, seed)
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+        keys = keys.map_batches(
+            lambda t: t.filter(pa.array(~np.isin(
+                np.asarray(t["pid"]).astype(np.int64), done_arr))),
+            batch_format="pyarrow")
+
+    def build_group(group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        h = np.asarray(group["h"], dtype=U64)
+        return _rows_to_table([_build_one(kind, params, h, pid,
+                                          num_partitions)])
+
+    built = keys.groupby("pid").map_groups(build_group, batch_format="pyarrow")
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        built = built.materialize()
+        if built.count() > 0:
+            built.write_parquet(checkpoint_dir)
+        manifest = {"key_col": key_col, "kind": kind, "params": params,
+                    "num_partitions": num_partitions, "seed": seed}
+        with open(os.path.join(checkpoint_dir, "MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return rd.read_parquet(checkpoint_dir)
+    if existing is not None:
+        built = built.union(existing)
+    return built
+
+
+def load_filters(filter_table) -> dict[int, object]:
+    """Materialize a (small) filter table into {pid: filter}."""
+    if hasattr(filter_table, "to_arrow_refs"):
+        rows = filter_table.to_pandas()
+    else:
+        rows = filter_table
+    out = {}
+    for _, r in rows.iterrows():
+        out[int(r["partition_id"])] = sketch_from_bytes(bytes(r["payload"]))
+    return out
+
+
+class Prober:
+    """Actor-pool probe stage: deserialize the broadcast filter table ONCE
+    per actor (__init__), check batches vectorized (__call__) -- the
+    stateful-stage pattern of SURVEY.md §2.3."""
+
+    def __init__(self, blobs_ref, key_col: str, num_partitions: int,
+                 seed: int = 0, out_col: str = "hit"):
+        import ray
+        blobs = ray.get(blobs_ref) if not isinstance(blobs_ref, dict) else blobs_ref
+        self.filters = {pid: sketch_from_bytes(b) for pid, b in blobs.items()}
+        self.key_col = key_col
+        self.num_partitions = num_partitions
+        self.seed = seed
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = hash_column(batch[self.key_col], self.seed)
+        pid = partition_ids(h, self.num_partitions)
+        hit = np.zeros(len(h), dtype=bool)
+        order = np.argsort(pid, kind="stable")
+        sorted_pid = pid[order]
+        bounds = np.searchsorted(
+            sorted_pid, np.arange(self.num_partitions + 1), side="left")
+        for p in np.unique(sorted_pid):
+            f = self.filters.get(int(p))
+            if f is None:
+                continue
+            sel = order[bounds[p]:bounds[p + 1]]
+            hit[sel] = f.check(h[sel])
+        return batch.append_column(self.out_col, pa.array(hit))
+
+
+def probe(filter_table, ds, key_col: str, out_col: str = "hit",
+          concurrency: int | None = None, seed: int = 0):
+    """ds + boolean membership column, via a broadcast of the filter table
+    (ray.put once; actors deserialize once).  No shuffle."""
+    import ray
+
+    pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
+        else filter_table
+    blobs = {int(r["partition_id"]): bytes(r["payload"])
+             for _, r in pdf.iterrows()}
+    num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
+    ref = ray.put(blobs)
+    return ds.map_batches(
+        Prober, batch_format="pyarrow",
+        fn_constructor_args=(ref, key_col, num_partitions, seed, out_col),
+        concurrency=concurrency or 4)
+
+
+# ---------------------------------------------------------------------------
+# Global mergeable-sketch aggregation: per-batch partial states -> tree merge
+# (the "pre-aggregate inside map_batches, shuffle only tiny states" pattern;
+# no raw data crosses the exchange at all).
+# ---------------------------------------------------------------------------
+
+def sketch_aggregate(ds, col: str, make_sketch, update,
+                     merge_shards: int = 16, seed: int = 0):
+    """Aggregate a whole Dataset column into ONE mergeable sketch.
+
+    make_sketch() -> fresh state; update(sketch, pa.Array chunk) mutates.
+    Stage 1 map_batches: one serialized partial per (batch, shard).
+    Stage 2 groupby(shard).map_groups: merge within shard (tree level 1).
+    Stage 3 driver: merge <= merge_shards states (tree root).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        s = make_sketch()
+        update(s, batch[col])
+        blob = s.to_bytes()
+        shard = (hash(blob) & 0x7FFFFFFF) % merge_shards
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "state": pa.array([blob], pa.large_binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        acc = None
+        for blob in group["state"]:
+            s = sketch_from_bytes(blob.as_py())
+            acc = s if acc is None else acc.merge(s)
+        return pa.table({"shard": [group["shard"][0].as_py()],
+                         "state": pa.array([acc.to_bytes()],
+                                           pa.large_binary())})
+
+    states = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(merge_group, batch_format="pyarrow"))
+    acc = None
+    for b in states.iter_batches(batch_format="pyarrow"):
+        for blob in b["state"]:
+            s = sketch_from_bytes(blob.as_py())
+            acc = s if acc is None else acc.merge(s)
+    if acc is None:
+        acc = make_sketch()
+    return acc
+
+
+def grouped_count(ds, key_fn, key_name: str = "key", count_name: str = "n"):
+    """Exact per-key counts with per-batch partial aggregation (combiner)
+    before the shuffle -- only (key, partial_count) rows cross the exchange,
+    which is the salted/pre-aggregated path for skewed keys (SURVEY.md §4).
+
+    key_fn(batch: pa.Table) -> pa.Array of group keys.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        vc = pd.Series(keys.to_pandas()).value_counts()
+        return pa.table({key_name: pa.array(vc.index.astype(str)),
+                         "partial": pa.array(vc.values.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_name)
+             .aggregate(Sum("partial", alias_name=count_name)))
+    return out
