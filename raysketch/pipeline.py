@@ -101,11 +101,12 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
     import ray.data as rd
 
     params = dict(params or {})
+    parts_dir = os.path.join(checkpoint_dir, "parts") if checkpoint_dir else None
     done: set[int] = set()
     existing = None
-    if checkpoint_dir and os.path.isdir(checkpoint_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(checkpoint_dir)):
-        existing = rd.read_parquet(checkpoint_dir)
+    if parts_dir and os.path.isdir(parts_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(parts_dir)):
+        existing = rd.read_parquet(parts_dir)
         done = {int(r) for r in existing.to_pandas()["partition_id"]}
 
     keys = hashed_keys(ds, key_col, num_partitions, seed)
@@ -124,15 +125,15 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
 
     built = keys.groupby("pid").map_groups(build_group, batch_format="pyarrow")
     if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        os.makedirs(parts_dir, exist_ok=True)
         built = built.materialize()
         if built.count() > 0:
-            built.write_parquet(checkpoint_dir)
+            built.write_parquet(parts_dir)
         manifest = {"key_col": key_col, "kind": kind, "params": params,
                     "num_partitions": num_partitions, "seed": seed}
         with open(os.path.join(checkpoint_dir, "MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh)
-        return rd.read_parquet(checkpoint_dir)
+        return rd.read_parquet(parts_dir)
     if existing is not None:
         built = built.union(existing)
     return built

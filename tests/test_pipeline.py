@@ -1,0 +1,144 @@
+"""End-to-end Ray pipeline tests on sf0.001 (driver testdata)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    from raysketch.pages import pages_dataset
+    return pages_dataset(SF).materialize()
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("sbbf", {"bits_per_key": 10}),
+    ("xorf", {"fp_bits": 16, "arity": 3}),
+    ("ribbon", {"coeff_bits": 64, "result_bits": 16}),
+])
+def test_build_probe_no_false_negatives(ray_session, pages, kind, params):
+    from raysketch.pipeline import build_filter_table, probe
+    ft = build_filter_table(pages, "url", kind, params,
+                            num_partitions=4).materialize()
+    pdf = ft.to_pandas()
+    assert len(pdf) == 4
+    assert (pdf["kind"] == kind).all()
+    probed = probe(ft, pages, "url", concurrency=2)
+    missing = probed.map_batches(
+        lambda t: t.filter(pc.invert(t["hit"])),
+        batch_format="pyarrow").count()
+    assert missing == 0
+
+
+def test_probe_fpr_on_absent_keys(ray_session, pages):
+    import ray.data as rd
+    from raysketch.pipeline import build_filter_table, probe
+    ft = build_filter_table(pages, "url", "xorf",
+                            {"fp_bits": 16, "arity": 3},
+                            num_partitions=4).materialize()
+    # known-absent probe urls (FIXTURES.md F2): seeded-random, disjoint by
+    # construction from the derived url namespace
+    absent = rd.from_items(
+        [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
+         for i in range(4096)])
+    probed = probe(ft, absent, "url", concurrency=2)
+    hits = probed.sum("hit") or 0
+    assert hits / 4096 <= 3 / 65536 * 4 + 0.001  # fp_bits=16 target, slack
+
+
+def test_checkpoint_resume(ray_session, pages, tmp_path):
+    from raysketch.pipeline import build_filter_table
+    ck = str(tmp_path / "ft")
+    ft1 = build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
+                             num_partitions=4, checkpoint_dir=ck)
+    pdf1 = ft1.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    assert len(pdf1) == 4
+    # resume: nothing missing -> payloads must be byte-identical (no rebuild)
+    ft2 = build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
+                             num_partitions=4, checkpoint_dir=ck)
+    pdf2 = ft2.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    assert len(pdf2) == 4
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(pdf1["payload"], pdf2["payload"]))
+
+
+def test_partial_checkpoint_resume(ray_session, pages, tmp_path):
+    """Simulate a failed run: drop one partition's row, resume rebuilds
+    exactly the missing one."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raysketch.pipeline import build_filter_table
+    ck = str(tmp_path / "ft2")
+    build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
+                       num_partitions=4, checkpoint_dir=ck).materialize()
+    # corrupt: keep only partitions != 2
+    parts = os.path.join(ck, "parts")
+    files = [f for f in os.listdir(parts) if f.endswith(".parquet")]
+    tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(parts, f)) for f in files])
+    kept = tbl.filter(pc.not_equal(tbl["partition_id"], 2))
+    for f in files:
+        os.remove(os.path.join(parts, f))
+    pq.write_table(kept, os.path.join(parts, "kept.parquet"))
+    ft = build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
+                            num_partitions=4, checkpoint_dir=ck)
+    pdf = ft.to_pandas()
+    assert sorted(pdf["partition_id"]) == [0, 1, 2, 3]
+
+
+def test_hll_aggregate_matches_exact(ray_session, pages):
+    import duckdb
+    from raysketch.hashing import hash_strings
+    from raysketch.pages import PAGES_SQL
+    from raysketch.pipeline import sketch_aggregate
+    from raysketch.sketches import HllSketch
+    hll = sketch_aggregate(pages, "url", lambda: HllSketch.create(p=14),
+                           lambda s, col: s.update(hash_strings(col)))
+    con = duckdb.connect()
+    for name in ["documents", "orders"]:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{name}.parquet')")
+    exact = con.execute(
+        f"SELECT COUNT(DISTINCT url) FROM {PAGES_SQL}").fetchone()[0]
+    assert abs(hll.estimate() - exact) / exact < 3 * hll.rel_error()
+
+
+def test_grouped_count_matches_exact(ray_session, pages):
+    import duckdb
+    from raysketch.pages import HOST_SQL, PAGES_SQL, host_of
+    from raysketch.pipeline import grouped_count
+    gc = grouped_count(pages, lambda t: host_of(t["url"]),
+                       key_name="host", count_name="n").to_pandas()
+    con = duckdb.connect()
+    for name in ["documents", "orders"]:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{name}.parquet')")
+    exact = con.execute(
+        f"SELECT {HOST_SQL} AS host, COUNT(*) AS n FROM {PAGES_SQL} "
+        f"GROUP BY 1").fetch_df()
+    merged = gc.merge(exact, on="host", suffixes=("_ray", "_sql"))
+    assert len(merged) == len(exact) == len(gc)
+    assert (merged["n_ray"] == merged["n_sql"]).all()
+
+
+def test_text_passthrough_byte_identical(ray_session, pages):
+    """input_hint invariant: byte-identical text per url through the
+    pipeline (SURVEY.md §7.4.7 -- pass-through integrity on the map path)."""
+    import duckdb
+    from raysketch.pages import PAGES_SQL
+    out = pages.map_batches(lambda t: t.select(["url", "text"]),
+                            batch_format="pyarrow").to_pandas()
+    con = duckdb.connect()
+    for name in ["documents", "orders"]:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{name}.parquet')")
+    ref = con.execute(
+        f"SELECT url, text FROM {PAGES_SQL}").fetch_df()
+    a = out.sort_values(["url", "text"]).reset_index(drop=True)
+    b = ref.sort_values(["url", "text"]).reset_index(drop=True)
+    assert a.equals(b)
