@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the raysketch library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every entry in queries() has a matching oracle_sql() unless the operation is
+genuinely non-SQL-expressible (probabilistic estimates: HLL/CMS/KLL/t-digest
+outputs, FPR measurement) -- those are rows-only checks and are additionally
+bound-tested in tests/.
 """
 
 from __future__ import annotations
@@ -18,27 +14,225 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysketch.pages import HOST_SQL, PAGES_SQL, host_of, pages_dataset
+from raysketch.hashing import hash_strings
+from raysketch.pipeline import (build_filter_table, distinct_keys,
+                                exact_quantiles_via_counts, grouped_count,
+                                probe, semijoin_filter_verify,
+                                sketch_aggregate)
+from raysketch.sketches import (CmsSketch, HllSketch, KllSketch, TDigest)
+
+_QS = [0.25, 0.50, 0.75, 0.99]
+
+_FILTER_CONFIGS = {
+    "sbbf10": ("sbbf", {"bits_per_key": 10}),
+    "sbbf24": ("sbbf", {"bits_per_key": 24}),
+    "xorf3_16": ("xorf", {"fp_bits": 16, "arity": 3}),
+    "xorf4_16": ("xorf", {"fp_bits": 16, "arity": 4}),
+    "ribbon64_16": ("ribbon", {"coeff_bits": 64, "result_bits": 16}),
+    "ribbon128_16": ("ribbon", {"coeff_bits": 128, "result_bits": 16}),
+}
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
+def _q_pages(sf_dir: str):
+    return pages_dataset(sf_dir)
+
+
+def _member_query(kind: str, params: dict):
+    def run(sf_dir: str):
+        pages = pages_dataset(sf_dir).materialize()
+        urls = distinct_keys(pages, "url").materialize()
+        ft = build_filter_table(pages, "url", kind, params,
+                                num_partitions=8).materialize()
+        return probe(ft, urls, "url", concurrency=2)
+    return run
+
+
+def _q_dedup_urls(sf_dir: str):
+    return distinct_keys(pages_dataset(sf_dir), "url")
+
+
+def _q_distinct_url_count(sf_dir: str):
+    n = distinct_keys(pages_dataset(sf_dir), "url").count()
+    return pd.DataFrame({"n_distinct": [n]})
+
+
+def _q_host_freq(sf_dir: str):
+    return grouped_count(pages_dataset(sf_dir),
+                         lambda t: host_of(t["url"]),
+                         key_name="host", count_name="n")
+
+
+def _q_text_len_quantiles(sf_dir: str):
+    return exact_quantiles_via_counts(
+        pages_dataset(sf_dir), lambda t: pc.utf8_length(t["text"]), _QS)
+
+
+def _q_events_semijoin(sf_dir: str):
+    import ray.data as rd
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    out = semijoin_filter_verify(events, "user_id", cust, "c_custkey")
+    return out.map_batches(lambda t: t.select(["event_id", "user_id"]),
+                           batch_format="pyarrow")
+
+
+# -- rows-only (non-SQL-expressible estimates) ------------------------------
+
+def _q_hll_distinct_url(sf_dir: str):
+    pages = pages_dataset(sf_dir)
+    s = sketch_aggregate(pages, "url", lambda: HllSketch.create(p=14),
+                         lambda sk, col: sk.update(hash_strings(col)))
+    return pd.DataFrame({"metric": ["hll_distinct_url"], "p": [14],
+                         "estimate": [s.estimate()],
+                         "rel_error_bound": [s.rel_error()]})
+
+
+def _q_cms_host_freq(sf_dir: str):
+    pages = pages_dataset(sf_dir).materialize()
+    s = sketch_aggregate(pages, "url",
+                         lambda: CmsSketch.create(depth=4, width=1 << 16),
+                         lambda sk, col: sk.update(hash_strings(host_of(col))))
+    top = (grouped_count(pages, lambda t: host_of(t["url"]),
+                         key_name="host", count_name="n")
+           .to_pandas().sort_values("n", ascending=False).head(10))
+    est = s.query(hash_strings(pa.array(top["host"].tolist())))
+    return pd.DataFrame({"host": top["host"].values,
+                         "exact_n": top["n"].values,
+                         "cms_estimate": est})
+
+
+def _sketch_quantiles(sf_dir: str, which: str):
+    pages = pages_dataset(sf_dir)
+    if which == "kll":
+        s = sketch_aggregate(
+            pages, "text", lambda: KllSketch.create(k=200),
+            lambda sk, col: sk.update(
+                np.asarray(pc.utf8_length(col), dtype=np.float64)))
+    else:
+        s = sketch_aggregate(
+            pages, "text", lambda: TDigest.create(delta=200),
+            lambda sk, col: sk.update(
+                np.asarray(pc.utf8_length(col), dtype=np.float64)))
+    est = s.quantile(np.array(_QS))
+    return pd.DataFrame({"q": _QS, "estimate": est})
+
+
+def _q_fpr_report(sf_dir: str):
+    """The bench observable (reference src/bench.zig:221-238): per filter
+    config, probe 4096 known-absent keys, report FPR + space overhead."""
+    import ray.data as rd
+    pages = pages_dataset(sf_dir).materialize()
+    absent = rd.from_items(
+        [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
+         for i in range(4096)]).materialize()
+    rows = []
+    for name, (kind, params) in _FILTER_CONFIGS.items():
+        ft = build_filter_table(pages, "url", kind, params,
+                                num_partitions=8).materialize()
+        pdf = ft.to_pandas()
+        hits = probe(ft, absent, "url", concurrency=2).sum("hit") or 0
+        mem = int(pdf["mem_bytes"].sum())
+        ideal = int(pdf["ideal_bytes"].sum())
+        rows.append({
+            "config": name, "kind": kind,
+            "n_keys": int(pdf["n_keys"].sum()),
+            "n_queries": 4096, "false_positives": int(hits),
+            "fpr": float(hits) / 4096,
+            "mem_bytes": mem, "ideal_bytes": ideal,
+            "space_overhead": mem / ideal - 1 if ideal else 0.0,
+            "build_s_sum": float(pdf["build_s"].sum()),
+        })
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive the CC-style pages table, build
+    all filter families over url keys (distributed per-partition builds),
+    verify zero false negatives, measure FPR on absent keys -> stats table
+    (the Ray shape of the reference bench, src/bench.zig:195-238)."""
+    sf = "/root/testdata/sf0.001"
+    pages = pages_dataset(sf).materialize()
+    urls = distinct_keys(pages, "url").materialize()
+    report = _q_fpr_report(sf)
+    # zero-false-negative assertion on one representative config per family
+    for name in ("sbbf10", "xorf3_16", "ribbon64_16"):
+        kind, params = _FILTER_CONFIGS[name]
+        ft = build_filter_table(pages, "url", kind, params,
+                                num_partitions=4).materialize()
+        n_hit = probe(ft, urls, "url", concurrency=2).sum("hit")
+        assert n_hit == urls.count(), f"false negatives in {name}"
+    return report
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "pages": _q_pages,
+        "dedup_urls_exact": _q_dedup_urls,
+        "distinct_url_count": _q_distinct_url_count,
+        "host_freq": _q_host_freq,
+        "text_len_quantiles_exact": _q_text_len_quantiles,
+        "events_semijoin_filter_verify": _q_events_semijoin,
+        # rows-only (estimates; bound-tested in tests/)
+        "hll_distinct_url": _q_hll_distinct_url,
+        "cms_host_freq": _q_cms_host_freq,
+        "kll_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "kll"),
+        "tdigest_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "td"),
+        "filter_fpr_report": _q_fpr_report,
+    }
+    for name, (kind, params) in _FILTER_CONFIGS.items():
+        if name in ("sbbf10", "xorf3_16", "ribbon64_16"):
+            q[f"member_{name}"] = _member_query(kind, params)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    member = ("SELECT DISTINCT url, TRUE AS hit FROM "
+              f"{PAGES_SQL} AS pages")
+    return {
+        "pages": f"SELECT * FROM {PAGES_SQL} AS pages",
+        "dedup_urls_exact": f"SELECT DISTINCT url FROM {PAGES_SQL} AS pages",
+        "distinct_url_count": (
+            "SELECT COUNT(DISTINCT url) AS n_distinct FROM "
+            f"{PAGES_SQL} AS pages"),
+        "host_freq": (
+            f"SELECT {HOST_SQL} AS host, COUNT(*) AS n FROM "
+            f"{PAGES_SQL} AS pages GROUP BY 1"),
+        "text_len_quantiles_exact": f"""
+            WITH c AS (SELECT length(text) AS v, COUNT(*) AS cnt
+                       FROM {PAGES_SQL} AS pages GROUP BY 1),
+                 s AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                              (SELECT SUM(cnt) FROM c) AS total FROM c),
+                 qs(q) AS (SELECT * FROM (VALUES (0.25), (0.50), (0.75),
+                                                 (0.99)) t(q))
+            SELECT CAST(qs.q AS DOUBLE) AS q, CAST(MIN(s.v) AS BIGINT) AS v
+            FROM qs, s WHERE s.cum >= CEIL(qs.q * s.total) GROUP BY qs.q
+        """,
+        "events_semijoin_filter_verify": (
+            "SELECT event_id, user_id FROM events WHERE user_id IN "
+            "(SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"),
+        "member_sbbf10": member,
+        "member_xorf3_16": member,
+        "member_ribbon64_16": member,
+    }

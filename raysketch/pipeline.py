@@ -266,3 +266,106 @@ def grouped_count(ds, key_fn, key_name: str = "key", count_name: str = "n"):
              .groupby(key_name)
              .aggregate(Sum("partial", alias_name=count_name)))
     return out
+
+
+def distinct_keys(ds, key_col: str):
+    """Exact distributed dedup of one column: per-batch np.unique partial,
+    then hash-partitioned groupby -- only already-deduped keys shuffle
+    (sort+adjacent-unique contract of reference src/bench.zig:258-280,
+    lifted to the cluster)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: pa.array(
+            np.unique(np.asarray(batch[key_col])))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key_col).count()
+              .select_columns([key_col]))
+
+
+def exact_quantiles_via_counts(ds, value_fn, qs: list[float],
+                               value_name: str = "v"):
+    """EXACT distributed quantiles through a value-counts histogram:
+    per-batch partial counts -> groupby(value).sum (the only shuffle; rows
+    = distinct values, not input rows) -> tiny driver-side rank walk.
+
+    Quantile rule (pinned so the SQL oracle can reproduce it exactly):
+    q-quantile = min{ v : cumulative_count(v) >= ceil(q * total) }.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(value_fn(batch))
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({value_name: pa.array(uniq.astype(np.int64)),
+                         "partial": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(value_name)
+                .aggregate(Sum("partial", alias_name="cnt"))
+                .to_pandas())
+    counts = counts.sort_values(value_name).reset_index(drop=True)
+    cum = counts["cnt"].cumsum().values
+    total = int(cum[-1]) if len(cum) else 0
+    vals = counts[value_name].values
+    out_q, out_v = [], []
+    for q in qs:
+        target = int(np.ceil(q * total))
+        i = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(float(q))
+        out_v.append(int(vals[min(i, len(vals) - 1)]))
+    return pd.DataFrame({"q": out_q, value_name: out_v})
+
+
+def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
+                           num_partitions: int = 2,
+                           kind: str = "xorf", params: dict | None = None):
+    """Filter-and-verify broadcast semi-join: the reference's production
+    use-case (a compact build-side summary prunes the probe side; false
+    positives are resolved by an exact check -- README.md:54 cost model).
+
+    Build side must be small-ish (broadcast of both the filter AND the
+    exact key set).  Result is EXACT."""
+    import ray
+
+    params = params or {"fp_bits": 16, "arity": 3}
+    ft = build_filter_table(build_ds, build_key_col, kind, params,
+                            num_partitions=num_partitions).materialize()
+    pdf = ft.to_pandas()
+    blobs = {int(r["partition_id"]): bytes(r["payload"])
+             for _, r in pdf.iterrows()}
+    exact_keys = np.sort(np.concatenate([
+        np.asarray(b[build_key_col])
+        for b in build_ds.map_batches(
+            lambda t: t.select([build_key_col]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    ] or [np.zeros(0, dtype=np.int64)]))
+    blobs_ref = ray.put(blobs)
+    exact_ref = ray.put(exact_keys)
+
+    class SemiJoin:
+        def __init__(self):
+            self.filters = {p: sketch_from_bytes(b)
+                            for p, b in ray.get(blobs_ref).items()}
+            self.exact = ray.get(exact_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = hash_column(batch[key_col])
+            pid = partition_ids(h, num_partitions)
+            maybe = np.zeros(len(h), dtype=bool)
+            for p in np.unique(pid):
+                f = self.filters.get(int(p))
+                if f is not None:
+                    m = pid == p
+                    maybe[m] = f.check(h[m])
+            if not maybe.any():
+                return batch.slice(0, 0)
+            cand = batch.filter(pa.array(maybe))
+            # exact verification of the filter's candidates (resolves FPs)
+            keys = np.asarray(cand[key_col])
+            idx = np.searchsorted(self.exact, keys)
+            idx = np.clip(idx, 0, len(self.exact) - 1)
+            verified = self.exact[idx] == keys
+            return cand.filter(pa.array(verified))
+
+    return ds.map_batches(SemiJoin, batch_format="pyarrow", concurrency=4)
