@@ -1,0 +1,180 @@
+"""Benchmark harness -- prints ONE JSON line with per-query seconds.
+
+    python bench.py             # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh processes,
+                                # reports throughputs + scaling efficiency
+
+Headline pipelines (the Ray shape of the reference bench,
+/root/reference/src/bench.zig:195-249, plus the north-rule sketch sweep):
+build each filter family over the pages url corpus (distributed per-partition
+builds, P=2*num_cpus), probe present + absent keys; a 600k-key lineitem
+build; the HLL/CMS/KLL sketch sweep; exact dedup; filter-verify semi-join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from raysketch.hashing import hash_strings
+    from raysketch.pages import host_of, pages_dataset
+    from raysketch.pipeline import (build_filter_table, distinct_keys,
+                                    grouped_count, probe,
+                                    semijoin_filter_verify, sketch_aggregate)
+    from raysketch.sketches import CmsSketch, HllSketch, KllSketch
+
+    P = max(8, 2 * num_cpus)
+    timings: dict[str, float] = {}
+    stats: dict[str, float] = {}
+
+    # warm the OS page cache + materialize the derived corpus once (untimed):
+    # we measure compute+shuffle, not first disk read
+    pages = pages_dataset(sf_dir).materialize()
+    n_pages = pages.count()
+    absent = rd.from_items(
+        [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
+         for i in range(4096)]).materialize()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    for cfg, kind, params in [
+        ("sbbf24", "sbbf", {"bits_per_key": 24}),
+        ("xorf3_16", "xorf", {"fp_bits": 16, "arity": 3}),
+        ("ribbon64_16", "ribbon", {"coeff_bits": 64, "result_bits": 16}),
+    ]:
+        def job(kind=kind, params=params):
+            ft = build_filter_table(pages, "url", kind, params,
+                                    num_partitions=P).materialize()
+            present_hits = probe(ft, pages, "url",
+                                 concurrency=num_cpus // 2).sum("hit")
+            fp = probe(ft, absent, "url", concurrency=4).sum("hit") or 0
+            return ft, present_hits, fp
+        ft, hits, fp = timed(f"build_probe_{cfg}", job)
+        pdf = ft.to_pandas()
+        stats[f"{cfg}_n_keys"] = int(pdf["n_keys"].sum())
+        stats[f"{cfg}_fpr_absent"] = fp / 4096
+        stats[f"{cfg}_space_overhead"] = round(
+            float(pdf["mem_bytes"].sum() / max(1, pdf["ideal_bytes"].sum())
+                  - 1), 4)
+        assert hits == n_pages, f"false negatives in {cfg}"
+
+    # 600k-key corpus from lineitem (keys = orderkey-linenumber strings)
+    def li_keys(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["l_orderkey"], pa.string()), "-",
+            pc.cast(t["l_linenumber"], pa.string()), "")
+        return pa.table({"key": k})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"]
+                         ).map_batches(li_keys, batch_format="pyarrow"
+                                       ).materialize()
+    n_li = li.count()
+
+    def li_job():
+        ft = build_filter_table(li, "key", "sbbf", {"bits_per_key": 10},
+                                num_partitions=P).materialize()
+        hits = probe(ft, li, "key", concurrency=num_cpus // 2).sum("hit")
+        assert hits == n_li
+        return ft
+    timed("lineitem_sbbf10_600k", li_job)
+
+    timed("hll_distinct_url", lambda: sketch_aggregate(
+        pages, "url", lambda: HllSketch.create(p=14),
+        lambda s, col: s.update(hash_strings(col))))
+    timed("cms_host_freq", lambda: sketch_aggregate(
+        pages, "url", lambda: CmsSketch.create(depth=4, width=1 << 16),
+        lambda s, col: s.update(hash_strings(host_of(col)))))
+    timed("kll_text_len", lambda: sketch_aggregate(
+        pages, "text", lambda: KllSketch.create(k=200),
+        lambda s, col: s.update(
+            np.asarray(pc.utf8_length(col), dtype=np.float64))))
+    timed("dedup_urls_exact",
+          lambda: distinct_keys(pages, "url").count())
+    timed("host_freq_exact",
+          lambda: grouped_count(pages, lambda t: host_of(t["url"]),
+                                key_name="host", count_name="n").count())
+
+    def semi_job():
+        events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "user_id"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"]).map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                       .select(["c_custkey"]), batch_format="pyarrow")
+        return semijoin_filter_verify(events, "user_id", cust,
+                                      "c_custkey").count()
+    timed("events_semijoin", semi_job)
+
+    total = round(sum(timings.values()), 4)
+    build_probe_s = timings["build_probe_sbbf24"]
+    result = {
+        "metric": "filterz-ray headline pipelines wall seconds (sum)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_lineitem_keys": n_li,
+        "docs_per_sec_sbbf24": round(n_pages / build_probe_s, 1),
+        "stats": stats,
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling() -> None:
+    lo, hi = 8, 32
+    runs = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        runs[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = runs[lo]["value"], runs[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency 8->32 cpus",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "throughput_8": round(runs[lo]["n_pages"] / t_lo, 1),
+        "throughput_32": round(runs[hi]["n_pages"] / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": runs[lo]["queries"],
+        "queries_32": runs[hi]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))

@@ -89,11 +89,30 @@ def calculate_header(arity: int, num_keys: int) -> dict:
     }
 
 
+_HL_MIX = U64(0xBF58476D1CE4E5B9)
+
+
 def _make_subhashes(arity: int, header: dict, h: np.ndarray) -> np.ndarray:
-    """(n, arity) u32 probe positions -- src/xorf.zig:29-40, vectorized."""
+    """(n, arity) u32 probe positions -- src/xorf.zig:29-40, vectorized.
+
+    DELIBERATE DEVIATION from src/xorf.zig:30: the reference derives the
+    window base `hl = reduce(segment_count_length, low32(h))`.  When
+    segment_count_length is a power of two, reduce() degenerates to a plain
+    right shift and hl's low bits coincide EXACTLY with the xor-offset of
+    position 2 (both are h bits [22..28] for arity 3), so the offset cancels
+    and position 2 collapses onto segment-aligned cells -- the hypergraph
+    keeps a giant 2-core and construction fails for EVERY seed (observed at
+    n=899: segment_count=8, scl=1024).  The reference never hits this
+    because its test sizes (10k, 1M keys) happen to produce non-power-of-two
+    segment counts.  We mix h multiplicatively before deriving hl so the
+    window base is independent of every offset bit window; FPR / sizing /
+    no-false-negative semantics are unchanged.
+    """
     seg_len = np.uint32(header["segment_length"])
     seg_mask = np.uint32(header["segment_length"] - 1)
-    hl = _reduce32(header["segment_count_length"], h).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        hmix = (h * _HL_MIX) >> U64(32)
+    hl = _reduce32(header["segment_count_length"], hmix).astype(np.uint32)
     n = h.shape[0]
     out = np.empty((n, arity), dtype=np.uint32)
     with np.errstate(over="ignore"):
