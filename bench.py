@@ -55,6 +55,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
          for i in range(4096)]).materialize()
 
+    # untimed warmup: spin up the worker pool / actor pools once so the
+    # first timed query doesn't pay python-process cold start for
+    # num_cpus workers
+    _warm_ft = build_filter_table(absent, "url", "sbbf",
+                                  {"bits_per_key": 10},
+                                  num_partitions=P).materialize()
+    probe(_warm_ft, absent, "url", concurrency=num_cpus // 2).sum("hit")
+    probe(_warm_ft, absent, "url", concurrency=4).sum("hit")
+
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()

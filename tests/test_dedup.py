@@ -1,0 +1,87 @@
+"""Dedup-family tests with planted duplicates / near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _docs_with_dups(ray_session):
+    """60 base docs + planted exact dups + planted near-dups."""
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, 60).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # exact dups of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append({"doc_id": 100 + i, "text": rows[i]["text"]})
+    # near-dups of docs 10..14 (ids 200..204): change 3 of 60 words
+    for i in range(5):
+        words = rows[10 + i]["text"].split()
+        for j in range(3):
+            words[7 * j] = "changed%d" % j
+        rows.append({"doc_id": 200 + i, "text": " ".join(words)})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(ray_session):
+    from raysketch.dedup import exact_dedup
+    ds = _docs_with_dups(ray_session)
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(out) == 65  # 60 base + 5 near-dups survive
+    assert set(out["doc_id"]) == set(range(60)) | {200, 201, 202, 203, 204}
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session):
+    from raysketch.dedup import minhash_lsh_pairs
+    ds = _docs_with_dups(ray_session)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", num_perm=128, bands=32,
+                              threshold=0.5)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    # exact dups must be found with est_jaccard ~1
+    for i in range(5):
+        assert (i, 100 + i) in found
+    exact_rows = pairs[pairs["doc_b"] >= 100]
+    exact_rows = exact_rows[exact_rows["doc_b"] < 200]
+    assert (exact_rows["est_jaccard"] > 0.99).all()
+    # near-dups (3/60 words changed -> high jaccard) must be found
+    near_found = sum((10 + i, 200 + i) in found for i in range(5))
+    assert near_found >= 4
+    # unrelated random docs must NOT pair up
+    base_pairs = [p for p in found if p[0] < 60 and p[1] < 60]
+    assert len(base_pairs) == 0
+
+
+def test_simhash_finds_exact_and_near(ray_session):
+    from raysketch.dedup import simhash_pairs
+    ds = _docs_with_dups(ray_session)
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=6)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    for i in range(5):
+        assert (i, 100 + i) in found  # exact dup -> hamming 0
+    ham0 = pairs[(pairs["doc_a"] < 60) & (pairs["doc_b"] >= 100)
+                 & (pairs["doc_b"] < 200)]
+    assert (ham0["hamming"] == 0).all()
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # planted near-dups: tiny perturbation of vecs 0..4
+    for i in range(5):
+        v = base[i] + rng.standard_normal(32) * 0.01
+        rows.append({"vec_id": 100 + i, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                    threshold=0.99, bits=8)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    hits = sum((i, 100 + i) in found for i in range(5))
+    assert hits >= 4  # LSH with one table: allow one recall miss
+    # no false pairs among independent gaussians
+    assert all(a >= 100 or b >= 100 for a, b in found)

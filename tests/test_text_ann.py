@@ -1,0 +1,147 @@
+"""Text-analysis, ANN and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/documents.parquet").materialize()
+
+
+def test_token_stats_matches_python(ray_session, docs):
+    from raysketch.text import token_stats
+    out = docs.map_batches(token_stats, batch_format="pyarrow").to_pandas()
+    ref = docs.to_pandas()
+    merged = out.merge(ref, on="doc_id")
+    py_tokens = merged["text"].str.split().str.len()
+    assert (merged["n_tokens"] == py_tokens).all()
+    assert (merged["n_chars_x"] == merged["text"].str.len()).all()
+    py_uniq = merged["text"].apply(lambda t: len(set(t.split())))
+    assert (merged["n_unique_tokens"] == py_uniq).all()
+
+
+def test_quality_scores_ranges(ray_session, docs):
+    from raysketch.text import quality_scores
+    out = docs.map_batches(quality_scores, batch_format="pyarrow").to_pandas()
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert (out["n_tokens"] > 0).all()
+    assert ((out["repetition_ratio"] >= 0)
+            & (out["repetition_ratio"] <= 1)).all()
+
+
+def test_langid_accuracy(ray_session):
+    # NB: testdata documents.lang is a decorative label (all texts are the
+    # same English-ish word salad), so language-ID is tested on genuinely
+    # multilingual synthetic texts instead.
+    import ray.data as rd
+    from raysketch.text import language_id
+    samples = {
+        "en": "the cat and the dog sat in a house that is big for a while",
+        "de": "der hund und die katze ist ein tier zu hause von den leuten mit",
+        "fr": "le chien et la maison est un animal les gens du quartier pour",
+        "es": "el perro y la casa es un animal los gatos de una ciudad por",
+        "zh": "这是一个中文句子 里面有很多汉字 用来测试语言识别",
+    }
+    rows = []
+    i = 0
+    for lang, base in samples.items():
+        for rep in range(4):
+            rows.append({"doc_id": i, "lang": lang,
+                         "text": (base + " ") * (rep + 1)})
+            i += 1
+    ds = rd.from_items(rows)
+    out = language_id(ds, concurrency=2).to_pandas()
+    merged = out.merge(__import__("pandas").DataFrame(rows)[
+        ["doc_id", "lang"]], on="doc_id")
+    acc = (merged["pred_lang"] == merged["lang"]).mean()
+    assert acc >= 0.9, merged[merged.pred_lang != merged.lang]
+
+
+def test_fingerprint_invariance(ray_session):
+    import pyarrow as pa
+    from raysketch.text import fingerprints
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["Hello  World", "hello world", "different"]})
+    out = fingerprints(t).to_pandas()
+    # whitespace-collapse + lowercase: rows 1 and 2 collide, 3 differs
+    assert out["fingerprint"][0] == out["fingerprint"][1]
+    assert out["fingerprint"][0] != out["fingerprint"][2]
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from raysketch.ann import brute_force_topk
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet").materialize()
+    pdf = emb.to_pandas()
+    vecs = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    queries = vecs[:3]
+    out = brute_force_topk(emb, "embedding", "vec_id", queries, k=5,
+                           concurrency=2)
+    # numpy reference
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sim = u @ qu.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sim[:, qi]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].values
+        assert list(got) == list(ids[order]), qi
+        # query 0 is vector 0 itself -> top hit must be itself with cos ~1
+    top0 = out[(out["query_id"] == 0) & (out["rank"] == 0)]
+    assert top0["vec_id"].iloc[0] == ids[0]
+    assert abs(top0["cosine"].iloc[0] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    from raysketch.ann import brute_force_topk, ivf_topk
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet").materialize()
+    pdf = emb.to_pandas()
+    queries = np.stack(pdf["embedding"].values[:5]).astype(np.float64)
+    exact = brute_force_topk(emb, "embedding", "vec_id", queries, k=10)
+    approx = ivf_topk(emb, "embedding", "vec_id", queries, k=10,
+                      n_centroids=8, nprobe=3)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=3/8 buckets
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    from raysketch.multimodal import (decode_images, synth_media_dataset,
+                                      SampleFrames)
+    media = synth_media_dataset(32)
+    out = decode_images(media, fake=True, concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "width", "height",
+                                "thumb_feature"}
+    assert (out["width"] >= 128).all() and (out["width"] < 640).all()
+    assert all(len(f) == 64 for f in out["thumb_feature"])
+    # determinism: same payloads -> same fake decode
+    out2 = decode_images(media, fake=True, concurrency=2).to_pandas()
+    m = out.sort_values("media_id").reset_index(drop=True)
+    m2 = out2.sort_values("media_id").reset_index(drop=True)
+    assert (m["width"] == m2["width"]).all()
+    # frame sampling stub: 4 rows per video
+    frames = media.map_batches(
+        SampleFrames, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(fake=True, n_frames=4),
+        concurrency=2).to_pandas()
+    assert len(frames) == 32 * 4
+
+
+def test_multimodal_real_decode_raises(ray_session):
+    from raysketch.multimodal import DecodeImage, synth_media_dataset
+    import pyarrow as pa
+    stage = DecodeImage(fake=False)
+    batch = synth_media_dataset(2).to_pandas()
+    with pytest.raises(NotImplementedError):
+        stage(pa.Table.from_pandas(batch))
