@@ -162,6 +162,120 @@ def _q_fpr_report(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+# -- phase-2: training-data operators ---------------------------------------
+
+def _q_member_sbbf_merge(sf_dir: str):
+    """SBBF built through the mergeable-UDAF path (per-batch partials,
+    OR tree-merge) -- must agree with the oracle exactly like the holistic
+    build (zero false negatives on present keys)."""
+    from raysketch.pipeline import build_filter_table_sbbf_merge
+    pages = pages_dataset(sf_dir).materialize()
+    urls = distinct_keys(pages, "url").materialize()
+    ft = build_filter_table_sbbf_merge(pages, "url", bits_per_key=10,
+                                       num_partitions=8).materialize()
+    return probe(ft, urls, "url", concurrency=2)
+
+
+def _q_token_stats(sf_dir: str):
+    import ray.data as rd
+    from raysketch.text import token_stats
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    import ray.data as rd
+    from raysketch.dedup import exact_dedup
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from raysketch.ann import brute_force_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack(qdf["embedding"].values).astype(np.float64)
+    out = brute_force_topk(emb, "embedding", "vec_id", queries, k=5,
+                           concurrency=2)
+    # query_id is positional over the 3 smallest vec_ids == vec_id 0,1,2
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def _neardup_corpus(sf_dir: str):
+    """documents + deterministic planted near-dups (doc_id+100000, text with
+    its first 20 chars removed) -- gives LSH something real to find."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], 100000),
+            "text": pc.utf8_slice_codeunits(t["text"], 20),
+        })
+    return docs.union(docs.map_batches(plant, batch_format="pyarrow"))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from raysketch.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
+                             num_perm=128, bands=32, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from raysketch.dedup import simhash_pairs
+    return simhash_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
+                         max_hamming=3)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data as rd
+    from raysketch.text import language_id
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return language_id(docs, concurrency=2)
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+    from raysketch.text import quality_scores
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(quality_scores, batch_format="pyarrow")
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+    from raysketch.text import fingerprints
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = docs.map_batches(fingerprints, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "fingerprint": pc.cast(
+                                t["fingerprint"], pa.string())}),
+        batch_format="pyarrow")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, "embedding", "vec_id",
+                                   threshold=0.95, bits=8)
+
+
+def _q_decode_images(sf_dir: str):
+    from raysketch.multimodal import decode_images, synth_media_dataset
+    out = decode_images(synth_media_dataset(64), fake=True, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "width", "height"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -199,6 +313,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "kll"),
         "tdigest_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "td"),
         "filter_fpr_report": _q_fpr_report,
+        # training-data operators
+        "member_sbbf10_mergepath": _q_member_sbbf_merge,
+        "token_stats_docs": _q_token_stats,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "ann_topk_bruteforce": _q_ann_topk,
+        # rows-only training-data ops (non-SQL-expressible; pytest-verified)
+        "minhash_neardup_pairs": _q_minhash_pairs,
+        "simhash_neardup_pairs": _q_simhash_pairs,
+        "langid_docs": _q_langid,
+        "quality_scores_docs": _q_quality,
+        "doc_fingerprints": _q_fingerprints,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "decode_images_stub": _q_decode_images,
     }
     for name, (kind, params) in _FILTER_CONFIGS.items():
         if name in ("sbbf10", "xorf3_16", "ribbon64_16"):
@@ -235,4 +362,30 @@ def oracle_sql() -> dict[str, str]:
         "member_sbbf10": member,
         "member_xorf3_16": member,
         "member_ribbon64_16": member,
+        "member_sbbf10_mergepath": member,
+        "token_stats_docs": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS n_tokens,
+                   length(list_distinct(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> ''))) AS n_unique_tokens
+            FROM documents
+        """,
+        "exact_dedup_docs": (
+            "SELECT * FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(e.embedding, q.qe) AS c
+                       FROM embeddings e CROSS JOIN q),
+                 r AS (SELECT query_id, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) - 1 AS rank
+                       FROM s)
+            SELECT query_id, rank, vec_id FROM r WHERE rank < 5
+        """,
     }

@@ -27,7 +27,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from .hashing import U64, hash_column, partition_ids
+from .hashing import U64, hash_column, murmur64a_u64, partition_ids
 from .sketches import FILTER_KINDS, SbbfFilter, num_blocks_for, sketch_from_bytes
 
 FILTER_TABLE_SCHEMA = pa.schema([
@@ -199,6 +199,87 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         Prober, batch_format="pyarrow",
         fn_constructor_args=(ref, key_col, num_partitions, seed, out_col),
         concurrency=concurrency or 4)
+
+
+def build_filter_table_sbbf_merge(ds, key_col: str, bits_per_key: int = 10,
+                                  num_partitions: int = 16,
+                                  expected_keys: int | None = None,
+                                  seed: int = 0):
+    """SBBF as a mergeable UDAF: per-(batch, partition) partial filters,
+    OR tree-merge in groupby(pid) -- raw key hashes never shuffle, only
+    compact partial states do (the north-rule UDAF shape; OR is
+    associative+commutative so the result is bit-identical to a
+    single-shot build at the same num_blocks, property-tested).
+
+    Sizing: partial states must share num_blocks across batches, so blocks
+    are sized up-front from the (estimated) per-partition key count with a
+    1.2x margin -- oversizing only lowers FPR.  Each partial carries a
+    small HLL so the merged row still reports a distinct-key estimate."""
+    from .sketches import HllSketch
+
+    if expected_keys is None:
+        expected_keys = ds.count()
+    per_part = max(64, int(expected_keys / num_partitions * 1.2))
+    nb = num_blocks_for(per_part, bits_per_key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch[key_col], seed)
+        pid = partition_ids(h, num_partitions)
+        order = np.argsort(pid, kind="stable")
+        sp, sh = pid[order], h[order]
+        bounds = np.searchsorted(sp, np.arange(num_partitions + 1))
+        rows_pid, rows_state, rows_hll, rows_n = [], [], [], []
+        for p in np.unique(sp):
+            seg = sh[bounds[p]:bounds[p + 1]]
+            f = SbbfFilter.create(nb, bits_per_key)
+            f.insert(seg)
+            hll = HllSketch.create(p=12)
+            # remix before HLL: partition assignment consumed the hash's
+            # high bits, so within a partition they are confined to a 1/P
+            # slice -- HLL indexes by exactly those bits and would
+            # underestimate badly without an independent remix
+            hll.update(murmur64a_u64(seg, 0xD1B54A32D192ED03))
+            rows_pid.append(int(p))
+            rows_state.append(f.to_bytes())
+            rows_hll.append(hll.to_bytes())
+            rows_n.append(len(seg))
+        return pa.table({
+            "pid": pa.array(rows_pid, pa.int32()),
+            "state": pa.array(rows_state, pa.large_binary()),
+            "hll": pa.array(rows_hll, pa.large_binary()),
+            "n_rows": pa.array(rows_n, pa.int64()),
+        })
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        import time as _t
+        t0 = _t.perf_counter()
+        pid = int(group["pid"][0].as_py())
+        acc = None
+        hacc = None
+        for st, hl in zip(group["state"], group["hll"]):
+            f = SbbfFilter.from_bytes(st.as_py())
+            acc = f if acc is None else acc.merge(f)
+            h = HllSketch.from_bytes(hl.as_py())
+            hacc = h if hacc is None else hacc.merge(h)
+        n_keys = int(round(hacc.estimate()))
+        acc.num_keys = n_keys
+        return _rows_to_table([{
+            "partition_id": pid, "kind": "sbbf",
+            "params": json.dumps({"bits_per_key": bits_per_key,
+                                  "num_blocks": nb, "merge_path": True},
+                                 sort_keys=True),
+            "num_partitions": num_partitions,
+            "payload": acc.to_bytes(),
+            "n_keys": n_keys,
+            "n_rows": int(np.asarray(group["n_rows"]).sum()),
+            "build_s": _t.perf_counter() - t0,
+            "mem_bytes": acc.mem_usage(),
+            "ideal_bytes": n_keys * bits_per_key // 8,
+        }])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("pid")
+              .map_groups(merge_group, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
