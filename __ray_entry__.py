@@ -268,6 +268,42 @@ def _q_embedding_neardup(sf_dir: str):
                                    threshold=0.95, bits=8)
 
 
+def _q_distinct_urls_per_host(sf_dir: str):
+    """Exact distinct urls per host: (host,url) pairs deduped per batch,
+    one shuffle on the pair, then a per-host count."""
+    import pandas as pd
+    pages = pages_dataset(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        host = np.asarray(host_of(t["url"]))
+        url = np.asarray(t["url"])
+        uniq = pd.DataFrame({"host": host, "url": url}).drop_duplicates()
+        return pa.Table.from_pandas(uniq, preserve_index=False)
+
+    dedup = (pages.map_batches(pairs, batch_format="pyarrow")
+                  .groupby(["host", "url"]).count())
+    return grouped_count(dedup, lambda t: t["host"],
+                         key_name="host", count_name="n_urls")
+
+
+def _q_hll_urls_per_host(sf_dir: str):
+    """HLL distinct-url sketch PER HOST with salted pre-aggregation
+    (north-star op); returns estimates next to nothing SQL-checkable
+    (rows-only; bound asserted in tests)."""
+    from raysketch.pipeline import grouped_sketch_aggregate
+    from raysketch.sketches import HllSketch, sketch_from_bytes
+    pages = pages_dataset(sf_dir)
+    states = grouped_sketch_aggregate(
+        pages, lambda t: host_of(t["url"]),
+        lambda t: hash_strings(t["url"]),
+        lambda: HllSketch.create(p=12),
+        key_name="host", num_salts=4).to_pandas()
+    ests = [sketch_from_bytes(bytes(b)).estimate()
+            for b in states["state"]]
+    return pd.DataFrame({"host": states["host"],
+                         "est_distinct_urls": np.round(ests, 1)})
+
+
 def _q_decode_images(sf_dir: str):
     from raysketch.multimodal import decode_images, synth_media_dataset
     out = decode_images(synth_media_dataset(64), fake=True, concurrency=2)
@@ -326,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "decode_images_stub": _q_decode_images,
+        "distinct_urls_per_host": _q_distinct_urls_per_host,
+        "hll_urls_per_host": _q_hll_urls_per_host,
     }
     for name, (kind, params) in _FILTER_CONFIGS.items():
         if name in ("sbbf10", "xorf3_16", "ribbon64_16"):
@@ -376,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT * FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        "distinct_urls_per_host": (
+            f"SELECT {HOST_SQL} AS host, COUNT(DISTINCT url) AS n_urls "
+            f"FROM {PAGES_SQL} AS pages GROUP BY 1"),
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 3),

@@ -327,6 +327,59 @@ def sketch_aggregate(ds, col: str, make_sketch, update,
     return acc
 
 
+def grouped_sketch_aggregate(ds, key_fn, value_fn, make_sketch,
+                             key_name: str = "key", num_salts: int = 1):
+    """Per-key mergeable sketches (e.g. HLL of distinct urls per host) with
+    salted pre-aggregation for skewed keys (SURVEY.md §4): stage 1 emits one
+    partial state per (batch, key, salt) -- the salt splits a hot key's
+    partials across `num_salts` reducers -- stage 2 merges per (key, salt),
+    stage 3 merges the <=num_salts states per key.  For num_salts=1 stages
+    2/3 collapse into one groupby.
+
+    key_fn(batch) -> pa.Array of keys; value_fn(batch) -> np.ndarray[u64]
+    hashed values to feed the sketch.  Returns Dataset (key, state:binary).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        vals = value_fn(batch)
+        karr = np.asarray(keys)
+        order = np.argsort(karr, kind="stable")
+        karr, vals = karr[order], vals[order]
+        uniq, starts = np.unique(karr, return_index=True)
+        bounds = np.append(starts, len(karr))
+        out_k, out_salt, out_state = [], [], []
+        for i, k in enumerate(uniq):
+            seg = vals[bounds[i]:bounds[i + 1]]
+            s = make_sketch()
+            s.update(seg)
+            out_k.append(str(k))
+            out_salt.append(int(seg[0] % np.uint64(num_salts))
+                            if num_salts > 1 else 0)
+            out_state.append(s.to_bytes())
+        return pa.table({key_name: pa.array(out_k),
+                         "salt": pa.array(out_salt, pa.int32()),
+                         "state": pa.array(out_state, pa.large_binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        acc = None
+        for blob in group["state"]:
+            s = sketch_from_bytes(blob.as_py())
+            acc = s if acc is None else acc.merge(s)
+        return pa.table({key_name: [group[key_name][0].as_py()],
+                         "salt": pa.array([0], pa.int32()),
+                         "state": pa.array([acc.to_bytes()],
+                                           pa.large_binary())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([key_name, "salt"])
+             .map_groups(merge_group, batch_format="pyarrow"))
+    if num_salts > 1:
+        out = (out.groupby(key_name)
+                  .map_groups(merge_group, batch_format="pyarrow"))
+    return out.map_batches(lambda t: t.select([key_name, "state"]),
+                           batch_format="pyarrow")
+
+
 def grouped_count(ds, key_fn, key_name: str = "key", count_name: str = "n"):
     """Exact per-key counts with per-batch partial aggregation (combiner)
     before the shuffle -- only (key, partial_count) rows cross the exchange,

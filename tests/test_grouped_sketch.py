@@ -1,0 +1,31 @@
+"""Per-key (salted) sketch aggregation correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_per_host_within_bound(ray_session):
+    from raysketch.hashing import hash_strings
+    from raysketch.pages import host_of, pages_dataset
+    from raysketch.pipeline import grouped_sketch_aggregate
+    from raysketch.sketches import HllSketch, sketch_from_bytes
+
+    pages = pages_dataset(SF).materialize()
+    for num_salts in (1, 4):
+        states = grouped_sketch_aggregate(
+            pages, lambda t: host_of(t["url"]),
+            lambda t: hash_strings(t["url"]),
+            lambda: HllSketch.create(p=12),
+            key_name="host", num_salts=num_salts).to_pandas()
+        est = {r["host"]: sketch_from_bytes(bytes(r["state"])).estimate()
+               for _, r in states.iterrows()}
+        pdf = pages.to_pandas()
+        pdf["host"] = pdf["url"].str.split("/").str[2]
+        exact = pdf.groupby("host")["url"].nunique()
+        assert set(est) == set(exact.index)
+        for host, e in exact.items():
+            bound = max(3.0, 3 * 1.04 / np.sqrt(2 ** 12) * e)
+            assert abs(est[host] - e) <= bound, (host, est[host], e)
