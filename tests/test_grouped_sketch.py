@@ -27,5 +27,7 @@ def test_hll_per_host_within_bound(ray_session):
         exact = pdf.groupby("host")["url"].nunique()
         assert set(est) == set(exact.index)
         for host, e in exact.items():
-            bound = max(3.0, 3 * 1.04 / np.sqrt(2 ** 12) * e)
+            # linear-counting regime: absolute error ~ register collisions,
+            # a few expected even at small n (birthday over m=4096)
+            bound = max(6.0, 3 * 1.04 / np.sqrt(2 ** 12) * e + 3)
             assert abs(est[host] - e) <= bound, (host, est[host], e)
