@@ -35,8 +35,12 @@ def exact_dedup(ds, col: str, id_col: str):
     from ray.data.aggregate import Min
 
     def project(batch: pa.Table) -> pa.Table:
+        # int64 view of the u64 hash: Ray's aggregate re-emits group keys as
+        # Python ints, and values above 2^63 overflow Arrow int64 inference
+        # (falls back to pickled object blocks) -- the signed view is a
+        # bijection so dedup semantics are unchanged
         return pa.table({
-            "h": pa.array(hash_strings(batch[col]), pa.uint64()),
+            "h": pa.array(hash_strings(batch[col]).view(np.int64), pa.int64()),
             "id": batch[id_col],
         })
 
@@ -165,7 +169,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
             bh[:, b] = acc
         return pa.table({
             "band": pa.array(band_ids),
-            "bh": pa.array(bh.reshape(-1), pa.uint64()),
+            "bh": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
             "doc_id": pa.array(ids),
         })
 
@@ -251,7 +255,9 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
             rows_key.append(key)
             rows_id.append(ids)
         return pa.table({"band": pa.array(np.concatenate(rows_band)),
-                         "key": pa.array(np.concatenate(rows_key), pa.uint64()),
+                         "key": pa.array(
+                             np.concatenate(rows_key).view(np.int64),
+                             pa.int64()),
                          "doc_id": pa.array(np.concatenate(rows_id))})
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -308,7 +314,7 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
         norm[norm == 0] = 1
         unit = vecs / norm
         return pa.table({
-            "key": pa.array(key, pa.uint64()),
+            "key": pa.array(key.view(np.int64), pa.int64()),
             "doc_id": batch[id_col],
             "unit": pa.array(list(unit), pa.list_(pa.float64())),
         })

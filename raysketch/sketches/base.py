@@ -9,17 +9,24 @@ boundaries through the Ray object store and Parquet checkpoints.
 Envelope format (stable, self-describing, no pickle):
   MAGIC 'RSK1' | u32 header_len | header json (kind, meta, array specs) |
   raw little-endian array payloads concatenated.
+Large envelopes (> _COMPRESS_MIN) are wrapped as MAGIC 'RSKZ' | zlib(RSK1
+blob): partial sketch states (CMS tables, SBBF bit arrays) are sparse at
+per-block granularity, so compression cuts shuffle/object-store bytes by
+10-100x for the cost of a level-1 deflate.  Deterministic (fixed level).
 """
 
 from __future__ import annotations
 
 import json
 import struct
+import zlib
 from abc import ABC, abstractmethod
 
 import numpy as np
 
 _MAGIC = b"RSK1"
+_MAGIC_Z = b"RSKZ"
+_COMPRESS_MIN = 4096
 
 
 def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
@@ -33,10 +40,17 @@ def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
         payloads.append(arr.tobytes())
     header = json.dumps({"kind": kind, "meta": meta, "arrays": specs},
                         separators=(",", ":")).encode()
-    return b"".join([_MAGIC, struct.pack("<I", len(header)), header, *payloads])
+    raw = b"".join([_MAGIC, struct.pack("<I", len(header)), header, *payloads])
+    if len(raw) > _COMPRESS_MIN:
+        z = zlib.compress(raw, 1)
+        if len(z) + 4 < len(raw):
+            return _MAGIC_Z + z
+    return raw
 
 
 def unpack(blob: bytes) -> tuple[str, dict, dict[str, np.ndarray]]:
+    if blob[:4] == _MAGIC_Z:
+        blob = zlib.decompress(blob[4:])
     if blob[:4] != _MAGIC:
         raise ValueError("bad sketch envelope magic")
     (hlen,) = struct.unpack_from("<I", blob, 4)
