@@ -38,12 +38,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from raysketch.hashing import hash_strings
     from raysketch.pages import host_of, pages_dataset
-    from raysketch.pipeline import (build_filter_table, distinct_keys,
-                                    grouped_count, probe,
+    from raysketch.pipeline import (build_filter_table, choose_num_partitions,
+                                    distinct_keys, grouped_count, probe,
                                     semijoin_filter_verify, sketch_aggregate)
     from raysketch.sketches import CmsSketch, HllSketch, KllSketch
-
-    P = max(8, 2 * num_cpus)
     timings: dict[str, float] = {}
     stats: dict[str, float] = {}
 
@@ -51,6 +49,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # we measure compute+shuffle, not first disk read
     pages = pages_dataset(sf_dir).materialize()
     n_pages = pages.count()
+    # partitions sized by keys (~50k/filter at bench scale; 1M default at
+    # cluster scale) -- per-partition key count drives filter space
+    # overhead, see choose_num_partitions
+    P = choose_num_partitions(n_pages, target_keys=50_000)
     absent = rd.from_items(
         [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
          for i in range(4096)]).materialize()

@@ -45,6 +45,22 @@ FILTER_TABLE_SCHEMA = pa.schema([
 ])
 
 
+def choose_num_partitions(n_keys: int, target_keys: int = 1_000_000) -> int:
+    """Partition count from corpus size, NOT cluster size: one filter per
+    ~target_keys keys (the reference's 1M-key section, src/bench.zig:36-50,
+    bench-data/bench_data.py:8).
+
+    Per-partition key count drives space overhead: binary-fuse/ribbon
+    sizing slack shrinks with n (measured xorf3_16 overhead: 39% at 2.4k
+    keys/partition, 23% at 20k, 13% at 1M -- reference gets 14.78% at its
+    1M-key sections).  At 10^12 keys this yields ~10^6 partitions, far
+    above any cluster's core count, so parallelism is never the binding
+    constraint at scale; undersized corpora simply get fewer build tasks
+    (builds are cheap there anyway -- probe/sketch stages parallelize by
+    block regardless of P)."""
+    return max(1, -(-int(n_keys) // int(target_keys)))
+
+
 def hashed_keys(ds, key_col: str, num_partitions: int, seed: int = 0):
     """Dataset of (pid:uint32, h:uint64): hash + partition assignment, with
     everything else projected away BEFORE any shuffle (SURVEY.md §7.4.6)."""
