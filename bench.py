@@ -160,32 +160,96 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _run_scaling_job(sf_dir: str, num_cpus: int, replicas: int = 96) -> dict:
+    """The headline build+probe pipeline on a corpus big enough that
+    compute dominates Ray's fixed per-stage overhead (sf0.1 alone is 155k
+    keys -- seconds of overhead vs milliseconds of compute, which is why
+    whole-bench wall time anti-scales there).  The sf0.1 url corpus is
+    replicated `replicas`x with a distinct prefix per replica (~15M
+    distinct keys), then: hash -> partition -> per-partition ribbon +
+    xorf builds (the CPU-heavy holistic constructions) -> full-corpus
+    probe with zero-false-negative check."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from raysketch.pages import pages_dataset
+    from raysketch.pipeline import (build_filter_table,
+                                    choose_num_partitions, probe)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        urls = t["url"]
+        out = [pc.binary_join_element_wise(f"r{i}.", urls, "")
+               for i in range(replicas)]
+        return pa.table({"url": pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in out])})
+
+    urls = (pages_dataset(sf_dir)
+            .map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
+            .map_batches(replicate, batch_format="pyarrow")
+            .materialize())
+    n_keys = urls.count()
+    P = choose_num_partitions(n_keys, target_keys=50_000)
+
+    # untimed warmup: spin up the worker pool once
+    warm = build_filter_table(urls.limit(4096), "url", "sbbf",
+                              {"bits_per_key": 10}, num_partitions=4
+                              ).materialize()
+    probe(warm, urls.limit(4096), "url").sum("hit")
+
+    t0 = time.perf_counter()
+    for kind, params in (("ribbon", {"coeff_bits": 64, "result_bits": 16}),
+                         ("xorf", {"fp_bits": 16, "arity": 3})):
+        ft = build_filter_table(urls, "url", kind, params,
+                                num_partitions=P).materialize()
+        hits = probe(ft, urls, "url").sum("hit")
+        assert hits == n_keys, f"false negatives in scaling job ({kind})"
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "sec": round(wall, 3),
+            "n_keys": n_keys, "num_partitions": P,
+            "keys_per_sec": round(2 * n_keys / wall, 1)}
+
+
 def _scaling() -> None:
-    lo, hi = 8, 32
+    """N vs 4N parallelism on the same input in fresh processes (the
+    in-sandbox stand-in for the north rule's N vs 4N cluster sizes)."""
+    lo, hi = 4, 16
     runs = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+            env=env, capture_output=True, text=True, check=True).stdout
         runs[n] = json.loads(out.strip().splitlines()[-1])
-    t_lo, t_hi = runs[lo]["value"], runs[hi]["value"]
+    t_lo, t_hi = runs[lo]["sec"], runs[hi]["sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency 8->32 cpus",
-        "sec_8": t_lo, "sec_32": t_hi,
-        "throughput_8": round(runs[lo]["n_pages"] / t_lo, 1),
-        "throughput_32": round(runs[hi]["n_pages"] / t_hi, 1),
+        "metric": f"scaling efficiency {lo}->{hi} cpus (N vs 4N)",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        "n_keys": runs[lo]["n_keys"],
+        f"keys_per_sec_{lo}": runs[lo]["keys_per_sec"],
+        f"keys_per_sec_{hi}": runs[hi]["keys_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "queries_8": runs[lo]["queries"],
-        "queries_32": runs[hi]["queries"],
     }))
 
 
 if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--scaling-worker" in sys.argv:
+        print(json.dumps(_run_scaling_job(sf_dir, num_cpus)))
     else:
-        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))
