@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysketch.pages import HOST_SQL, PAGES_SQL, host_of, pages_dataset
+from raysketch.text import BPE_PATTERN
 from raysketch.hashing import hash_strings
 from raysketch.pipeline import (build_filter_table, distinct_keys,
                                 exact_quantiles_via_counts, grouped_count,
@@ -312,6 +313,49 @@ def _q_decode_images(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_audio_features(sf_dir: str):
+    from raysketch.multimodal import extract_audio_features, synth_media_dataset
+    out = extract_audio_features(synth_media_dataset(64, kind="audio"),
+                                 fake=True, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "duration_s"]),
+        batch_format="pyarrow")
+
+
+def _q_sample_frames(sf_dir: str):
+    from raysketch.multimodal import sample_frames, synth_media_dataset
+    out = sample_frames(synth_media_dataset(32, kind="video"), fake=True,
+                        concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "frame_no"]),
+        batch_format="pyarrow")
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from raysketch.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
+                               shingle_k=5, threshold=0.5)
+
+
+def _q_bpe_tokens(sf_dir: str):
+    import ray.data as rd
+    from raysketch.text import bpe_token_stats
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+    from raysketch.ann import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack(qdf["embedding"].values).astype(np.float64)
+    out = ivf_topk(emb, "embedding", "vec_id", queries, k=5,
+                   n_centroids=8, nprobe=4, concurrency=2)
+    return out[["query_id", "rank", "vec_id"]]
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -361,7 +405,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_docs": _q_quality,
         "doc_fingerprints": _q_fingerprints,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "bpe_token_stats_docs": _q_bpe_tokens,
+        "ann_topk_ivf": _q_ann_ivf,
         "decode_images_stub": _q_decode_images,
+        "audio_features_stub": _q_audio_features,
+        "video_frame_sample_stub": _q_sample_frames,
         "distinct_urls_per_host": _q_distinct_urls_per_host,
         "hll_urls_per_host": _q_hll_urls_per_host,
     }
@@ -414,6 +463,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT * FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        # DuckDB's regexp engine is RE2, same as pyarrow's -- the identical
+        # pattern string must count identical tokens
+        "bpe_token_stats_docs": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '"
+            + BPE_PATTERN.replace("'", "''")
+            + "')) AS n_bpe_tokens FROM documents"),
         "distinct_urls_per_host": (
             f"SELECT {HOST_SQL} AS host, COUNT(DISTINCT url) AS n_urls "
             f"FROM {PAGES_SQL} AS pages GROUP BY 1"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .util import pool
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -54,7 +55,7 @@ def brute_force_topk(ds, vec_col: str, id_col: str,
             })
 
     cand = ds.map_batches(TopK, batch_format="pyarrow",
-                          concurrency=concurrency).to_pandas()
+                          concurrency=pool(concurrency)).to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "vec_id"],
                             ascending=[True, False, True])
     out = cand.groupby("query_id", as_index=False).head(k).copy()
@@ -126,7 +127,7 @@ def ivf_topk(ds, vec_col: str, id_col: str, queries: np.ndarray,
             })
 
     cand = ds.map_batches(BucketTopK, batch_format="pyarrow",
-                          concurrency=concurrency).to_pandas()
+                          concurrency=pool(concurrency)).to_pandas()
     if not len(cand):
         return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
                              "cosine": []})

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .hashing import U64, hash_bytes_u64, hash_strings, murmur64a_u64
+from .util import pool
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -135,7 +136,7 @@ def minhash_signatures(ds, text_col: str, id_col: str, num_perm: int = 128,
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
                                    num_perm=num_perm, shingle_k=shingle_k),
-        concurrency=concurrency)
+        concurrency=pool(concurrency))
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
@@ -202,6 +203,62 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
     est = (sa == sb).mean(axis=1)
     out = cand_pdf.assign(est_jaccard=est)
     out = out[out["est_jaccard"] >= threshold]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
+                        threshold: float = 0.5, num_perm: int = 128,
+                        bands: int = 32, concurrency: int = 4):
+    """Near-duplicate pairs by EXACT character-n-gram Jaccard similarity
+    (doc_a < doc_b, jaccard >= threshold).
+
+    MinHash banding supplies the candidate pairs (same LSH shape as
+    minhash_lsh_pairs), but verification computes the true shingle-set
+    Jaccard |A∩B| / |A∪B| -- not the signature estimate -- over a second
+    distributed pass restricted to candidate docs.  Only candidate docs'
+    deduped shingle hashes reach the driver."""
+    import pandas as pd
+    import ray
+
+    cand = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                             bands=bands, shingle_k=shingle_k,
+                             threshold=0.0, concurrency=concurrency)
+    if not len(cand):
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+    need_ref = ray.put(need)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col])
+        mask = np.isin(ids, ray.get(need_ref))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.large_binary())})
+        sub = batch.filter(pa.array(mask))
+        texts = [t.encode() if isinstance(t, str) else bytes(t)
+                 for t in sub[text_col].to_pylist()]
+        sh, starts = _char_shingle_hashes(texts, shingle_k)
+        blobs = [sh[starts[i]:starts[i + 1]].tobytes()
+                 for i in range(len(texts))]
+        return pa.table({id_col: sub[id_col],
+                         "shingles": pa.array(blobs, pa.large_binary())})
+
+    sets: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(shingle_sets, batch_format="pyarrow"
+                            ).iter_batches(batch_format="pyarrow"):
+        for i, blob in zip(np.asarray(b[id_col]), b["shingles"]):
+            sets[int(i)] = np.frombuffer(blob.as_py(), dtype=U64)
+    jac = np.zeros(len(cand))
+    for row, (a, b_) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        sa, sb = sets[int(a)], sets[int(b_)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[row] = inter / union if union else 1.0
+    out = pd.DataFrame({"doc_a": cand["doc_a"].values,
+                        "doc_b": cand["doc_b"].values, "jaccard": jac})
+    out = out[out["jaccard"] >= threshold]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

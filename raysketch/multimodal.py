@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from .hashing import hash_strings
+from .util import pool
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -60,6 +61,42 @@ class DecodeImage:
         })
 
 
+class ExtractAudioFeatures:
+    """Audio feature-extraction stub (MFCC-shaped output): fake=True emits a
+    deterministic (n_windows x n_mels) feature matrix derived from the
+    payload bytes; fake=False raises at the exact point a codec
+    (torchaudio/librosa) would be called -- the Ray-side plumbing (actor
+    pool, small batches, list<list<float>> output) is real."""
+
+    def __init__(self, fake: bool = False, n_mels: int = 8,
+                 n_windows: int = 4):
+        self.fake = fake
+        self.n_mels = n_mels
+        self.n_windows = n_windows
+        if not fake:
+            # the import would live here (once per actor):
+            #   import torchaudio
+            self._codec = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "no audio codec in this environment; use fake=True")
+        h = hash_strings(batch["payload"])
+        dur = (1 + (h % np.uint64(30))).astype(np.float64)
+        feats = []
+        for hv in h:
+            rng = np.random.default_rng(int(hv) & 0xFFFFFFFF)
+            feats.append(rng.standard_normal(
+                self.n_windows * self.n_mels).astype(np.float32))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "duration_s": pa.array(dur),
+            "mfcc": pa.array([f.tolist() for f in feats],
+                             pa.list_(pa.float32())),
+        })
+
+
 class SampleFrames:
     """Video frame-sampling stub: emits `n_frames` pseudo-frames per video
     (flat_map shape: one output row per frame)."""
@@ -84,7 +121,7 @@ class SampleFrames:
         })
 
 
-def synth_media_dataset(n: int = 64, seed: int = 5):
+def synth_media_dataset(n: int = 64, seed: int = 5, kind: str = "image"):
     """Deterministic synthetic media table for plumbing tests."""
     import json
 
@@ -94,8 +131,8 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
     for i in range(n):
         payload = rng.integers(0, 256, 256 + int(rng.integers(0, 512)),
                                dtype=np.uint8).tobytes()
-        rows.append({"media_id": i, "kind": "image", "payload": payload,
-                     "meta": json.dumps({"mime": "image/fake"})})
+        rows.append({"media_id": i, "kind": kind, "payload": payload,
+                     "meta": json.dumps({"mime": f"{kind}/fake"})})
     return rd.from_items(rows)
 
 
@@ -104,4 +141,19 @@ def decode_images(ds, fake: bool = True, concurrency: int = 2,
     """Decode stage wiring: actor pool, small batches (binary payloads)."""
     return ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs=dict(fake=fake), concurrency=concurrency)
+        fn_constructor_kwargs=dict(fake=fake), concurrency=pool(concurrency))
+
+
+def extract_audio_features(ds, fake: bool = True, concurrency: int = 2,
+                           batch_size: int = 16):
+    return ds.map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(fake=fake), concurrency=pool(concurrency))
+
+
+def sample_frames(ds, fake: bool = True, concurrency: int = 2,
+                  batch_size: int = 16, n_frames: int = 4):
+    return ds.map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(fake=fake, n_frames=n_frames),
+        concurrency=pool(concurrency))

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from .hashing import U64, hash_column, murmur64a_u64, partition_ids
 from .sketches import FILTER_KINDS, SbbfFilter, num_blocks_for, sketch_from_bytes
+from .util import pool
 
 FILTER_TABLE_SCHEMA = pa.schema([
     ("partition_id", pa.int32()),
@@ -250,7 +251,7 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         return ds.map_batches(
             Prober, batch_format="pyarrow",
             fn_constructor_args=(ref, key_col, num_partitions, seed, out_col),
-            concurrency=concurrency or 4)
+            concurrency=pool(concurrency or 4))
 
     def probe_task(batch: pa.Table) -> pa.Table:
         filters = _cached_filters(ref)

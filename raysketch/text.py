@@ -12,6 +12,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import hash_strings
+from .util import pool
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
@@ -122,6 +123,25 @@ class LangId:
         })
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead, so the
+# trailing-whitespace rule collapses to \s+): contractions | letter runs |
+# digit runs | punctuation runs | whitespace runs.  Both pyarrow and DuckDB
+# use RE2, so the SAME pattern string drives the vectorized kernel and the
+# SQL oracle.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token counts: non-overlapping matches of BPE_PATTERN, fully
+    vectorized (pc.count_substring_regex -- no python loop)."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.utf8_length(batch[text_col]),
+        "n_bpe_tokens": pc.count_substring_regex(batch[text_col],
+                                                 BPE_PATTERN),
+    })
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Deterministic 64-bit content fingerprint of the normalized text
@@ -141,4 +161,4 @@ def language_id(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         LangId, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        concurrency=concurrency)
+        concurrency=pool(concurrency))
