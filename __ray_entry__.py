@@ -25,7 +25,7 @@ from raysketch.hashing import hash_strings
 from raysketch.pipeline import (build_filter_table, distinct_keys,
                                 exact_quantiles_via_counts, grouped_count,
                                 probe, semijoin_filter_verify,
-                                sketch_aggregate)
+                                sketch_aggregate, tokens_of, topk_by_count)
 from raysketch.sketches import (CmsSketch, HllSketch, KllSketch, TDigest)
 
 _QS = [0.25, 0.50, 0.75, 0.99]
@@ -269,6 +269,38 @@ def _q_embedding_neardup(sf_dir: str):
                                    threshold=0.95, bits=8)
 
 
+def _q_topk_hosts(sf_dir: str):
+    return topk_by_count(pages_dataset(sf_dir),
+                         lambda t: host_of(t["url"]), k=20,
+                         key_name="host", count_name="n")
+
+
+def _q_token_freq_topk(sf_dir: str):
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return topk_by_count(docs, lambda t: tokens_of(t), k=20,
+                         key_name="token", count_name="n")
+
+
+def _q_cms_token_freq(sf_dir: str):
+    """CMS token-frequency estimates next to exact counts for the exact
+    top-10 tokens (north-star op: count-min over token frequencies)."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    s = sketch_aggregate(docs, "text",
+                         lambda: CmsSketch.create(depth=4, width=1 << 16),
+                         lambda sk, col: sk.update(hash_strings(
+                             tokens_of(pa.table({"text": col})))))
+    top = topk_by_count(docs, lambda t: tokens_of(t), k=10,
+                        key_name="token", count_name="n")
+    est = s.query(hash_strings(pa.array(top["token"].tolist())))
+    return pd.DataFrame({"token": top["token"].values,
+                         "exact_n": top["n"].values,
+                         "cms_estimate": est})
+
+
 def _q_distinct_urls_per_host(sf_dir: str):
     """Exact distinct urls per host: (host,url) pairs deduped per batch,
     one shuffle on the pair, then a per-host count."""
@@ -407,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "bpe_token_stats_docs": _q_bpe_tokens,
+        "topk_hosts": _q_topk_hosts,
+        "token_freq_topk": _q_token_freq_topk,
+        "cms_token_freq": _q_cms_token_freq,
         "ann_topk_ivf": _q_ann_ivf,
         "decode_images_stub": _q_decode_images,
         "audio_features_stub": _q_audio_features,
@@ -473,6 +508,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_urls_per_host": (
             f"SELECT {HOST_SQL} AS host, COUNT(DISTINCT url) AS n_urls "
             f"FROM {PAGES_SQL} AS pages GROUP BY 1"),
+        "topk_hosts": (
+            f"SELECT {HOST_SQL} AS host, COUNT(*) AS n FROM {PAGES_SQL} "
+            "AS pages GROUP BY 1 ORDER BY n DESC, host LIMIT 20"),
+        "token_freq_topk": r"""
+            SELECT tok AS token, COUNT(*) AS n
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                      AS tok FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 3),

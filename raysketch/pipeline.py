@@ -468,6 +468,83 @@ def grouped_count(ds, key_fn, key_name: str = "key", count_name: str = "n"):
     return out
 
 
+def topk_by_count(ds, key_fn, k: int, key_name: str = "key",
+                  count_name: str = "n"):
+    """Exact top-k keys by count: per-batch combiner counts -> one shuffle
+    on the key -> per-block local top-k -> tiny driver merge.  Only
+    (key, count) rows move; the driver sees at most k rows per block.
+
+    Tie rule (pinned for the SQL oracle): order by count DESC, key ASC."""
+    import pandas as pd
+
+    counts = grouped_count(ds, key_fn, key_name=key_name,
+                           count_name=count_name)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            [count_name, key_name], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = counts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values([count_name, key_name],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def tokens_of(batch: pa.Table, text_col: str = "text") -> pa.Array:
+    """Flattened non-empty whitespace tokens of a batch (vectorized)."""
+    import pyarrow.compute as pc
+    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def resumable_write(ds, out_dir: str, key_col: str, num_shards: int = 16,
+                    seed: int = 0):
+    """Atomically-resumable partitioned Parquet sink: rows are hash-sharded
+    on key_col; each shard is written by its own task to shard_{i}.parquet
+    via tmp-file + os.rename (atomic on POSIX), so a re-run skips exactly
+    the shards whose files exist and rewrites the rest -- no torn output,
+    never one giant file.  Returns a manifest DataFrame (one row/shard)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {int(f[len("shard_"):-len(".parquet")])
+            for f in os.listdir(out_dir)
+            if f.startswith("shard_") and f.endswith(".parquet")}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch[key_col], seed)
+        shard = partition_ids(h, num_shards).astype(np.int32)
+        keep = ~np.isin(shard, np.array(sorted(done), dtype=np.int32)) \
+            if done else np.ones(len(shard), dtype=bool)
+        return batch.append_column("__shard", pa.array(shard)).filter(
+            pa.array(keep))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        shard = int(group["__shard"][0].as_py())
+        body = group.drop_columns(["__shard"])
+        final = os.path.join(out_dir, f"shard_{shard}.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(body, tmp)
+        os.replace(tmp, final)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_rows": pa.array([len(body)], pa.int64()),
+                         "skipped": pa.array([False])})
+
+    written = (ds.map_batches(assign, batch_format="pyarrow")
+                 .groupby("__shard")
+                 .map_groups(write_shard, batch_format="pyarrow")
+                 .to_pandas())
+    skipped = pd.DataFrame({"shard": sorted(done),
+                            "n_rows": -1, "skipped": True})
+    out = pd.concat([written, skipped], ignore_index=True)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def distinct_keys(ds, key_col: str):
     """Exact distributed dedup of one column: per-batch np.unique partial,
     then hash-partitioned groupby -- only already-deduped keys shuffle

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pandas as pd
 import pyarrow.compute as pc
 import pytest
 
@@ -142,3 +145,45 @@ def test_text_passthrough_byte_identical(ray_session, pages):
     a = out.sort_values(["url", "text"]).reset_index(drop=True)
     b = ref.sort_values(["url", "text"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_topk_by_count_matches_pandas(ray_session):
+    import ray.data as rd
+    from raysketch.pipeline import topk_by_count
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]})
+    out = topk_by_count(rd.from_pandas(df), lambda t: t["k"], k=2,
+                        key_name="k", count_name="n")
+    # tie between b and c at count 3 -> key ASC picks b
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [5, 3]
+
+
+def test_resumable_write_skips_done_shards(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from raysketch.pipeline import resumable_write
+
+    df = pd.DataFrame({"url": [f"u{i}" for i in range(1000)],
+                       "v": np.arange(1000)})
+    out_dir = str(tmp_path / "sink")
+    m1 = resumable_write(rd.from_pandas(df), out_dir, "url", num_shards=8)
+    assert not m1["skipped"].any()
+    assert m1["n_rows"].sum() == 1000
+    files = sorted(os.listdir(out_dir))
+    assert files == [f"shard_{i}.parquet" for i in range(8)]
+    total1 = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
+                 for f in files)
+    assert total1 == 1000
+
+    # delete two shards -> re-run rewrites exactly those, skips the rest
+    os.remove(os.path.join(out_dir, "shard_2.parquet"))
+    os.remove(os.path.join(out_dir, "shard_5.parquet"))
+    m2 = resumable_write(rd.from_pandas(df), out_dir, "url", num_shards=8)
+    rewritten = set(m2[~m2["skipped"]]["shard"])
+    assert rewritten == {2, 5}
+    assert set(m2[m2["skipped"]]["shard"]) == {0, 1, 3, 4, 6, 7}
+    total2 = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
+                 for f in sorted(os.listdir(out_dir)))
+    assert total2 == 1000
+    # no tmp droppings
+    assert not [f for f in os.listdir(out_dir) if ".tmp-" in f]
