@@ -269,6 +269,60 @@ def _q_embedding_neardup(sf_dir: str):
                                    threshold=0.95, bits=8)
 
 
+def _q_text_len_quantiles_per_lang(sf_dir: str):
+    """Exact grouped quantiles: one (lang, len) combiner count shuffle,
+    driver-side rank walk per lang (distinct (lang,len) rows only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"lang": np.asarray(t["lang"]),
+                           "v": np.asarray(pc.utf8_length(t["text"]))})
+        g = df.groupby(["lang", "v"]).size().reset_index(name="partial")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["lang", "v"])
+                  .aggregate(Sum("partial", alias_name="cnt"))
+                  .to_pandas())
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("v")
+        cum = g["cnt"].cumsum().values
+        total = int(cum[-1])
+        vals = g["v"].values
+        for q in _QS:
+            i = int(np.searchsorted(cum, int(np.ceil(q * total)), "left"))
+            rows.append({"lang": lang, "q": float(q),
+                         "v": int(vals[min(i, len(vals) - 1)])})
+    return pd.DataFrame(rows)
+
+
+def _q_kll_text_len_per_lang(sf_dir: str):
+    """Per-key KLL quantile sketches via the generic grouped mergeable-
+    sketch path (same shape as hll_urls_per_host, different sketch)."""
+    import ray.data as rd
+    from raysketch.pipeline import grouped_sketch_aggregate
+    from raysketch.sketches import sketch_from_bytes
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    states = grouped_sketch_aggregate(
+        docs, lambda t: t["lang"],
+        lambda t: np.asarray(pc.utf8_length(t["text"]), dtype=np.float64),
+        lambda: KllSketch.create(k=200),
+        key_name="lang", num_salts=2).to_pandas()
+    rows = []
+    for _, r in states.iterrows():
+        sk = sketch_from_bytes(bytes(r["state"]))
+        est = sk.quantile(np.array(_QS))
+        for q, v in zip(_QS, est):
+            rows.append({"lang": r["lang"], "q": q, "est_v": float(v)})
+    return pd.DataFrame(rows)
+
+
 def _q_topk_hosts(sf_dir: str):
     return topk_by_count(pages_dataset(sf_dir),
                          lambda t: host_of(t["url"]), k=20,
@@ -442,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_hosts": _q_topk_hosts,
         "token_freq_topk": _q_token_freq_topk,
         "cms_token_freq": _q_cms_token_freq,
+        "text_len_quantiles_per_lang": _q_text_len_quantiles_per_lang,
+        "kll_text_len_per_lang": _q_kll_text_len_per_lang,
         "ann_topk_ivf": _q_ann_ivf,
         "decode_images_stub": _q_decode_images,
         "audio_features_stub": _q_audio_features,
@@ -517,6 +573,21 @@ def oracle_sql() -> dict[str, str]:
                       regexp_split_to_array(text, '\s+'), x -> x <> ''))
                       AS tok FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "text_len_quantiles_per_lang": """
+            WITH c AS (SELECT lang, length(text) AS v, COUNT(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+                 s AS (SELECT lang, v,
+                              SUM(cnt) OVER (PARTITION BY lang ORDER BY v)
+                                  AS cum,
+                              SUM(cnt) OVER (PARTITION BY lang) AS total
+                       FROM c),
+                 qs(q) AS (SELECT * FROM (VALUES (0.25), (0.50), (0.75),
+                                                 (0.99)) t(q))
+            SELECT s.lang, CAST(qs.q AS DOUBLE) AS q,
+                   CAST(MIN(s.v) AS BIGINT) AS v
+            FROM qs, s WHERE s.cum >= CEIL(qs.q * s.total)
+            GROUP BY s.lang, qs.q
         """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
