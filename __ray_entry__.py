@@ -323,6 +323,37 @@ def _q_kll_text_len_per_lang(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_tumbling_hourly(sf_dir: str):
+    import ray.data as rd
+    from raysketch.windows import tumbling_window_agg
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+    return tumbling_window_agg(events, "ts", 3600, ["event_type"], "value")
+
+
+def _q_session_windows(sf_dir: str):
+    import ray.data as rd
+    from raysketch.windows import session_windows
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    return session_windows(events, "user_id", "ts", "value", gap_s=1800)
+
+
+def _q_events_orders_asof(sf_dir: str):
+    import ray.data as rd
+    from raysketch.windows import asof_join
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    out = asof_join(events, "user_id", "ts", "event_id",
+                    orders, "o_custkey", "o_orderdate", "o_orderkey")
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "user_id", "o_orderkey"]),
+        batch_format="pyarrow")
+
+
 def _q_topk_hosts(sf_dir: str):
     return topk_by_count(pages_dataset(sf_dir),
                          lambda t: host_of(t["url"]), k=20,
@@ -498,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_freq": _q_cms_token_freq,
         "text_len_quantiles_per_lang": _q_text_len_quantiles_per_lang,
         "kll_text_len_per_lang": _q_kll_text_len_per_lang,
+        "tumbling_hourly_events": _q_tumbling_hourly,
+        "session_windows_30m": _q_session_windows,
+        "events_orders_asof": _q_events_orders_asof,
         "ann_topk_ivf": _q_ann_ivf,
         "decode_images_stub": _q_decode_images,
         "audio_features_stub": _q_audio_features,
@@ -573,6 +607,37 @@ def oracle_sql() -> dict[str, str]:
                       regexp_split_to_array(text, '\s+'), x -> x <> ''))
                       AS tok FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "tumbling_hourly_events": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n, SUM(value) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
+        "session_windows_30m": """
+            WITH x AS (SELECT user_id, ts, value,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR ts - lag(ts) OVER w
+                                        > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 y AS (SELECT *, SUM(new_s) OVER
+                              (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+                       FROM x)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events,
+                   SUM(value) AS sum_value
+            FROM y GROUP BY 1, 2
+        """,
+        "events_orders_asof": """
+            WITH r AS (SELECT o_custkey, o_orderdate,
+                              MAX(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   CAST(r.o_orderkey AS DOUBLE) AS o_orderkey
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         """,
         "text_len_quantiles_per_lang": """
             WITH c AS (SELECT lang, length(text) AS v, COUNT(*) AS cnt

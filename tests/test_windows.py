@@ -1,0 +1,62 @@
+"""Windowed-operator and as-of-join tests (exact semantics vs pandas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data as rd
+    from raysketch.windows import tumbling_window_agg
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(rd.from_pandas(ev), "ts", 3600,
+                              ["event_type"], "value").to_pandas()
+    ref = ev.assign(window_start=ev["ts"].dt.floor("h")).groupby(
+        ["window_start", "event_type"], as_index=False).agg(
+        n=("value", "size"), sum_value=("value", "sum"))
+    m = out.merge(ref, on=["window_start", "event_type"],
+                  suffixes=("_g", "_w"))
+    assert len(m) == len(out) == len(ref)
+    assert (m["n_g"] == m["n_w"]).all()
+    assert np.allclose(m["sum_value_g"], m["sum_value_w"])
+
+
+def test_session_windows_gap_splits(ray_session):
+    import ray.data as rd
+    from raysketch.windows import session_windows
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                         "2024-01-01 01:00", "2024-01-01 03:00",
+                         "2024-01-01 03:20"])
+    df = pd.DataFrame({"user_id": [1] * 5, "ts": ts,
+                       "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = (session_windows(rd.from_pandas(df), "user_id", "ts", "value",
+                           gap_s=1800).to_pandas()
+           .sort_values("session_id").reset_index(drop=True))
+    # gaps: 10m, 50m (> 30m -> split), 2h (split), 20m
+    assert out["session_id"].tolist() == [1, 2, 3]
+    assert out["n_events"].tolist() == [2, 1, 2]
+    assert np.allclose(out["sum_value"], [3.0, 3.0, 9.0])
+
+
+def test_asof_join_null_and_tie_semantics(ray_session):
+    import ray.data as rd
+    from raysketch.windows import asof_join
+    L = pd.DataFrame({"k": [1, 1, 2, 3],
+                      "ts": pd.to_datetime(["2024-01-01", "2024-03-01",
+                                            "2024-02-01", "2024-01-15"]),
+                      "lid": [10, 11, 12, 13]})
+    R = pd.DataFrame({"k": [1, 1, 2],
+                      "ts": pd.to_datetime(["2024-02-01", "2024-02-01",
+                                            "2024-02-15"]),
+                      "rid": [100, 101, 200]})
+    out = asof_join(rd.from_pandas(L), "k", "ts", "lid",
+                    rd.from_pandas(R), "k", "ts", "rid"
+                    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert np.isnan(out["rid"][0])        # before all right rows
+    assert out["rid"][1] == 101.0         # tie on ts -> max rid
+    assert np.isnan(out["rid"][2])        # right exists but later
+    assert np.isnan(out["rid"][3])        # key with no right rows
