@@ -154,16 +154,23 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         xormask = np.zeros(array_len, dtype=U64)
         np.bitwise_xor.at(xormask, flat, np.repeat(h, arity))
 
-        # Round-parallel peel. Invariants per round:
+        # Round-parallel peel with a FRONTIER: after the initial full scan,
+        # only cells decremented last round can have become singletons, so
+        # each round costs O(keys peeled * arity), not O(array_length) --
+        # binary-fuse peeling runs hundreds of small waves (the segmented
+        # layout makes the peel sweep across segments), and rescanning the
+        # whole count array every wave dominated the build.
+        # Per-round invariants:
         #  - cells with count==1 hold exactly one unpeeled key (its h is the
         #    cell's xormask);
         #  - those keys' assignment cells are mutually exclusive (each has
         #    count 1 => no other unpeeled key touches it), so all can peel
         #    in one vectorized step.
-        rounds: list[tuple[np.ndarray, np.ndarray]] = []
+        rounds: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         peeled = 0
-        while True:
-            singly = np.flatnonzero(count == 1)
+        candidates = np.flatnonzero(count == 1)
+        while candidates.size:
+            singly = candidates[count[candidates] == 1]
             if singly.size == 0:
                 break
             keys = xormask[singly]
@@ -173,8 +180,9 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
             uflat = usub.ravel().astype(np.int64)
             np.subtract.at(count, uflat, 1)
             np.bitwise_xor.at(xormask, uflat, np.repeat(ukeys, arity))
-            rounds.append((ukeys, assign_cells))
+            rounds.append((ukeys, assign_cells, usub))
             peeled += len(ukeys)
+            candidates = np.unique(uflat[count[uflat] == 1])
 
         if peeled < n:
             continue  # 2-core non-empty under this seed -> retry
@@ -185,8 +193,7 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         # assigned (stays 0) -- mirrors the reverse-stack solve of
         # src/xorf.zig:199-216.
         fps = np.zeros(array_len, dtype=dtype)
-        for ukeys, assign_cells in reversed(rounds):
-            usub = _make_subhashes(arity, header, ukeys)
+        for ukeys, assign_cells, usub in reversed(rounds):
             f = _fingerprint(ukeys, fp_bits)
             for i in range(arity):
                 cell_i = usub[:, i]
