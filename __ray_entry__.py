@@ -26,7 +26,8 @@ from raysketch.pipeline import (build_filter_table, distinct_keys,
                                 exact_quantiles_via_counts, grouped_count,
                                 probe, semijoin_filter_verify,
                                 sketch_aggregate, tokens_of, topk_by_count)
-from raysketch.sketches import (CmsSketch, HllSketch, KllSketch, TDigest)
+from raysketch.sketches import (BottomKSketch, CmsSketch, HllSketch,
+                                KllSketch, TDigest)
 
 _QS = [0.25, 0.50, 0.75, 0.99]
 
@@ -133,6 +134,23 @@ def _sketch_quantiles(sf_dir: str, which: str):
                 np.asarray(pc.utf8_length(col), dtype=np.float64)))
     est = s.quantile(np.array(_QS))
     return pd.DataFrame({"q": _QS, "estimate": est})
+
+
+def _q_bottomk_url_sample(sf_dir: str):
+    """Mergeable bottom-k: uniform sample over DISTINCT urls + distinct
+    estimate, bit-identical state under any merge order (rows-only; the
+    estimate bound + merge invariance are pytest-verified)."""
+    pages = pages_dataset(sf_dir)
+    s = sketch_aggregate(
+        pages, "url", lambda: BottomKSketch.create(k=256),
+        lambda sk, col: sk.update(
+            hash_strings(col), [u.encode() for u in col.to_pylist()]))
+    sample = sorted(s.sample())[:20]
+    return pd.DataFrame({
+        "metric": ["bottomk_distinct_urls"] * len(sample),
+        "estimate": [round(s.estimate(), 1)] * len(sample),
+        "sample_url": sample,
+    })
 
 
 def _q_fpr_report(sf_dir: str):
@@ -508,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_url": _q_hll_distinct_url,
         "cms_host_freq": _q_cms_host_freq,
         "kll_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "kll"),
+        "bottomk_url_sample": _q_bottomk_url_sample,
         "tdigest_text_len_quantiles": lambda sf: _sketch_quantiles(sf, "td"),
         "filter_fpr_report": _q_fpr_report,
         # training-data operators

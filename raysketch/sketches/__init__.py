@@ -13,6 +13,7 @@ from .hll import HllSketch
 from .cms import CmsSketch
 from .kll import KllSketch
 from .tdigest import TDigest
+from .bottomk import BottomKSketch
 
 #: membership-filter registry, mirroring the FILTERS type list driven
 #: generically by the reference tests (src/tests.zig:97-126)
@@ -26,5 +27,6 @@ __all__ = [
     "REGISTRY", "Sketch", "pack", "unpack", "sketch_from_bytes", "register",
     "SbbfFilter", "num_blocks_for", "XorFilter", "calculate_header",
     "RibbonFilter", "HllSketch", "CmsSketch", "KllSketch", "TDigest",
+    "BottomKSketch",
     "FILTER_KINDS",
 ]

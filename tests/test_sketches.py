@@ -122,3 +122,44 @@ def test_serialization_roundtrip_all():
             assert s2.estimate() == s.estimate()
         if hasattr(s, "quantile"):
             assert s2.quantile(0.5) == s.quantile(0.5)
+
+
+def test_bottomk_merge_bit_identical_and_bound():
+    import pyarrow as pa
+    from raysketch.hashing import hash_strings
+    from raysketch.sketches import BottomKSketch, sketch_from_bytes
+
+    keys = [f"url-{i}" for i in range(10000)]
+    h = hash_strings(pa.array(keys))
+    import random
+    order = list(range(10000))
+    random.Random(5).shuffle(order)
+    chunks = [order[i::7] for i in range(7)]
+
+    def make(chunk):
+        s = BottomKSketch.create(k=256)
+        s.update(h[chunk], [keys[i].encode() for i in chunk])
+        return s
+
+    parts = [make(c) for c in chunks]
+    a = parts[0]
+    for p in parts[1:]:
+        a = a.merge(p)
+    b = parts[6]
+    for p in reversed(parts[:6]):
+        b = b.merge(p)
+    # merge is order-INVARIANT at the bit level (stronger than estimate-
+    # stable): the k smallest hashes of a set are a pure set function
+    assert (a.hashes == b.hashes).all()
+    assert a.payload == b.payload
+    est = a.estimate()
+    assert abs(est - 10000) / 10000 <= 3 * a.rel_error()
+    rt = sketch_from_bytes(a.to_bytes())
+    assert (rt.hashes == a.hashes).all()
+    # duplicates do not inflate the distinct estimate
+    s = BottomKSketch.create(k=64)
+    s.update(np.repeat(h[:10], 100),
+             [keys[i // 100].encode() for i in range(1000)])
+    assert s.estimate() == 10.0
+    # undersaturated -> exact, and the sample is exactly the distinct set
+    assert sorted(s.sample()) == sorted(keys[:10])
