@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hashing import U64, splitmix64
+from ..hashing import U64, murmur64a_u64, splitmix64
 from .base import Sketch, pack, unpack, register
 
 _COEFF_F0 = 0x876F170BE4F1FCB9  # src/ribbon.zig:19
@@ -62,7 +62,10 @@ def _start_pos_np(seed: int, n: int, hashes: np.ndarray,
 
 
 def _coeff_rows_np(seed: int, hashes: np.ndarray, coeff_bits: int):
-    """Vectorized src/ribbon.zig:22-35 -> (lo: u64[n], hi: u64[n] | None)."""
+    """Vectorized src/ribbon.zig:22-35 -> (lo: u64[n], hi: u64[n] | None).
+
+    Callers pass the seed-REMIXED hash (see _remix below), so the
+    reference's exact formulas apply to a well-mixed value."""
     h = np.asarray(hashes, dtype=U64)
     s = U64(seed)
     if coeff_bits == 64:
@@ -87,6 +90,25 @@ def _result_rows_np(seed: int, hashes: np.ndarray, result_bits: int):
     return ((h >> U64(32)) ^ h).astype(_RES_DTYPES[result_bits])
 
 
+def _remix(hashes: np.ndarray, seed: int) -> np.ndarray:
+    """Multiply-mix each hash with the construction seed (murmur64a
+    finalizer) before deriving positions/coefficients/results.
+
+    DELIBERATE deviation from the reference, which feeds the raw hash into
+    `(seed ^ hash)`-style derivations (src/ribbon.zig:9-49) and relies on
+    the caller having XxHash3-mixed the keys (src/bench.zig:10-14).  Two
+    raw hashes differing only in low bits then share a start position at
+    any size < 2^32 AND (for u32/u64) an identical coefficient row under
+    EVERY seed (xor preserves the bit-0 difference, `| 1` erases it), so
+    construction retries forever -- at 10^12 keys an (h, h^1) pair is
+    expected (~n^2 * 2^-64).  Remixing with the seed folds the "inputs
+    must be well-mixed" precondition into the kernel and makes seed
+    retries genuinely decorrelate; probe applies the identical remix, so
+    the zero-FN / FPR / space contracts are unchanged.  Found by a
+    hypothesis property test on arbitrary u64 inputs."""
+    return murmur64a_u64(np.asarray(hashes, dtype=U64), seed)
+
+
 def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
     """Banded elimination build. Returns (seed, solution ndarray).
 
@@ -102,14 +124,15 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
         start_range = size + 1 - coeff_bits
         for _ in range(_NUM_TRIES):
             seed = next_seed()
-            pos_arr = _start_pos_np(seed, start_range, hashes, coeff_bits)
+            mixed = _remix(hashes, seed)
+            pos_arr = _start_pos_np(seed, start_range, mixed, coeff_bits)
             # insert in start-position order: solvability of the GF(2)
             # system is order-independent, but sorted insertion halves the
             # elimination cascade length at the ~0.97 load factor
             # (measured 1.36M -> 0.61M cascade steps at 50k keys)
             order = np.argsort(pos_arr, kind="stable")
             pos_arr = pos_arr[order]
-            sorted_hashes = hashes[order]
+            sorted_hashes = mixed[order]
             lo, hi = _coeff_rows_np(seed, sorted_hashes, coeff_bits)
             if hi is None:
                 cr_list = lo.tolist()
@@ -208,9 +231,10 @@ class RibbonFilter(Sketch):
             return np.zeros(nq, dtype=bool)
         cb = self.coeff_bits
         start_range = size + 1 - cb
-        pos = _start_pos_np(self.seed, start_range, hashes, cb)
-        lo, hi = _coeff_rows_np(self.seed, hashes, cb)
-        expected = _result_rows_np(self.seed, hashes, self.result_bits)
+        mixed = _remix(hashes, self.seed)
+        pos = _start_pos_np(self.seed, start_range, mixed, cb)
+        lo, hi = _coeff_rows_np(self.seed, mixed, cb)
+        expected = _result_rows_np(self.seed, mixed, self.result_bits)
         padded = np.concatenate(
             [self.solution, np.zeros(cb, dtype=self.solution.dtype)])
         window = padded[pos[:, None] + np.arange(cb)]
