@@ -349,6 +349,40 @@ def _q_tumbling_hourly(sf_dir: str):
     return tumbling_window_agg(events, "ts", 3600, ["event_type"], "value")
 
 
+def _q_hopping_events(sf_dir: str):
+    import ray.data as rd
+    from raysketch.windows import hopping_window_agg
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+    return hopping_window_agg(events, "ts", 3600, 1800,
+                              ["event_type"], "value")
+
+
+def _q_distinct_users_per_hour(sf_dir: str):
+    """Exact distinct users per hour: per-batch (window,user) dedup, one
+    shuffle on the pair, then a per-window count (same shape as
+    distinct_urls_per_host)."""
+    import ray.data as rd
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        win = (ts // 3_600_000_000) * 3_600_000_000
+        df = pd.DataFrame({"window_start": win.astype("datetime64[us]"),
+                           "user_id": np.asarray(t["user_id"])
+                           }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dedup = (events.map_batches(pairs, batch_format="pyarrow")
+                   .groupby(["window_start", "user_id"]).count())
+    out = dedup.groupby("window_start").count()
+    return out.map_batches(
+        lambda t: pa.table({"window_start": t["window_start"],
+                            "n_users": t["count()"]}),
+        batch_format="pyarrow")
+
+
 def _q_session_windows(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import session_windows
@@ -549,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_len_quantiles_per_lang": _q_text_len_quantiles_per_lang,
         "kll_text_len_per_lang": _q_kll_text_len_per_lang,
         "tumbling_hourly_events": _q_tumbling_hourly,
+        "hopping_halfhour_events": _q_hopping_events,
+        "distinct_users_per_hour": _q_distinct_users_per_hour,
         "session_windows_30m": _q_session_windows,
         "events_orders_asof": _q_events_orders_asof,
         "ann_topk_ivf": _q_ann_ivf,
@@ -631,6 +667,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n, SUM(value) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "hopping_halfhour_events": """
+            SELECT TIMESTAMP '1970-01-01'
+                     + to_microseconds(CAST(
+                         (FLOOR(epoch_us(ts) / 1800000000) - i)
+                         * 1800000000 AS BIGINT)) AS window_start,
+                   event_type, COUNT(*) AS n, SUM(value) AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1)) AS hops(i)
+            GROUP BY 1, 2
+        """,
+        "distinct_users_per_hour": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1"),
         "session_windows_30m": """
             WITH x AS (SELECT user_id, ts, value,
                               CASE WHEN lag(ts) OVER w IS NULL

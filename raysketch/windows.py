@@ -46,6 +46,41 @@ def tumbling_window_agg(ds, ts_col: str, window_s: int,
                          Sum("pv", alias_name="sum_value")))
 
 
+def hopping_window_agg(ds, ts_col: str, window_s: int, hop_s: int,
+                       dim_cols: list[str], value_col: str):
+    """Overlapping (hopping) windows: every event belongs to
+    window_s/hop_s windows; per-batch the rows are replicated once per
+    covering window (vectorized np.repeat) and pre-aggregated, so the
+    shuffle still moves only partial (window_start, dims) rows."""
+    from ray.data.aggregate import Sum
+
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+    n_covers = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col]).astype("datetime64[us]").astype(np.int64)
+        hop_us = hop_s * 1_000_000
+        win_us = window_s * 1_000_000
+        # latest hop-aligned start <= ts, then walk back n_covers starts
+        last = (ts // hop_us) * hop_us
+        starts = last[:, None] - np.arange(n_covers)[None, :] * hop_us
+        mask = ts[:, None] < starts + win_us          # always true; keep
+        rows = np.repeat(np.arange(len(ts)), n_covers)[mask.ravel()]
+        win = starts.ravel()[mask.ravel()]
+        df = pd.DataFrame({c: np.asarray(t[c])[rows] for c in dim_cols})
+        df["window_start"] = win.astype("datetime64[us]")
+        df["pc"] = 1
+        df["pv"] = np.asarray(t[value_col])[rows]
+        g = (df.groupby(["window_start", *dim_cols], as_index=False)
+               .agg(pc=("pc", "sum"), pv=("pv", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["window_start", *dim_cols])
+              .aggregate(Sum("pc", alias_name="n"),
+                         Sum("pv", alias_name="sum_value")))
+
+
 def session_windows(ds, key_col: str, ts_col: str, value_col: str,
                     gap_s: int):
     """Per-key sessions: consecutive events of a key belong to one session

@@ -60,3 +60,20 @@ def test_asof_join_null_and_tie_semantics(ray_session):
     assert out["rid"][1] == 101.0         # tie on ts -> max rid
     assert np.isnan(out["rid"][2])        # right exists but later
     assert np.isnan(out["rid"][3])        # key with no right rows
+
+
+def test_hopping_window_covers_each_event_twice(ray_session):
+    import ray.data as rd
+    from raysketch.windows import hopping_window_agg, tumbling_window_agg
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    hop = hopping_window_agg(rd.from_pandas(ev), "ts", 3600, 1800,
+                             ["event_type"], "value").to_pandas()
+    # size/hop = 2 -> every event counted in exactly 2 windows
+    assert hop["n"].sum() == 2 * len(ev)
+    # each hop window's count equals the events in [start, start+1h)
+    s = hop.sort_values(["window_start", "event_type"]).iloc[7]
+    w0 = s["window_start"]
+    m = (ev["ts"] >= w0) & (ev["ts"] < w0 + pd.Timedelta(hours=1)) \
+        & (ev["event_type"] == s["event_type"])
+    assert int(m.sum()) == int(s["n"])
