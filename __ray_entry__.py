@@ -482,6 +482,13 @@ def _q_decode_images(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_resize_images(sf_dir: str):
+    from raysketch.multimodal import resize_images, synth_media_dataset
+    out = resize_images(synth_media_dataset(64), fake=True, concurrency=2,
+                        max_side=64)
+    return out
+
+
 def _q_audio_features(sf_dir: str):
     from raysketch.multimodal import extract_audio_features, synth_media_dataset
     out = extract_audio_features(synth_media_dataset(64, kind="audio"),
@@ -589,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof": _q_events_orders_asof,
         "ann_topk_ivf": _q_ann_ivf,
         "decode_images_stub": _q_decode_images,
+        "resize_images_stub": _q_resize_images,
         "audio_features_stub": _q_audio_features,
         "video_frame_sample_stub": _q_sample_frames,
         "distinct_urls_per_host": _q_distinct_urls_per_host,

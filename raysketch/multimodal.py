@@ -61,6 +61,35 @@ class DecodeImage:
         })
 
 
+class ResizeImage:
+    """Image resize stub: fake=True emits deterministic resized dimensions
+    (aspect-preserving fit into max_side x max_side) + a fake thumbnail
+    derived from the payload hash; fake=False raises where PIL's
+    Image.resize would run."""
+
+    def __init__(self, fake: bool = False, max_side: int = 64):
+        self.fake = fake
+        self.max_side = max_side
+        if not fake:
+            self._codec = None   # `from PIL import Image` would live here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "no image codec in this environment; use fake=True")
+        h = hash_strings(batch["payload"])
+        w = (128 + (h % np.uint64(512))).astype(np.float64)
+        ht = (128 + ((h >> np.uint64(16)) % np.uint64(512))).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, ht))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "orig_width": pa.array(w.astype(np.int64)),
+            "orig_height": pa.array(ht.astype(np.int64)),
+            "width": pa.array(np.round(w * scale).astype(np.int64)),
+            "height": pa.array(np.round(ht * scale).astype(np.int64)),
+        })
+
+
 class ExtractAudioFeatures:
     """Audio feature-extraction stub (MFCC-shaped output): fake=True emits a
     deterministic (n_windows x n_mels) feature matrix derived from the
@@ -142,6 +171,14 @@ def decode_images(ds, fake: bool = True, concurrency: int = 2,
     return ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs=dict(fake=fake), concurrency=pool(concurrency))
+
+
+def resize_images(ds, fake: bool = True, concurrency: int = 2,
+                  batch_size: int = 16, max_side: int = 64):
+    return ds.map_batches(
+        ResizeImage, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(fake=fake, max_side=max_side),
+        concurrency=pool(concurrency))
 
 
 def extract_audio_features(ds, fake: bool = True, concurrency: int = 2,

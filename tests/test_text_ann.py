@@ -236,3 +236,15 @@ def test_multimodal_real_decode_raises(ray_session):
     stage = ExtractAudioFeatures(fake=False)
     with _pt.raises(NotImplementedError):
         stage(pa.table({"media_id": [1], "payload": [b"x"]}))
+
+
+def test_resize_stub_dims(ray_session):
+    from raysketch.multimodal import resize_images, synth_media_dataset
+    out = resize_images(synth_media_dataset(32), fake=True,
+                        max_side=64).to_pandas()
+    assert len(out) == 32
+    assert (out[["width", "height"]].max(axis=1) <= 64).all()
+    # aspect ratio preserved within rounding
+    r_orig = out["orig_width"] / out["orig_height"]
+    r_new = out["width"] / out["height"]
+    assert (abs(r_orig - r_new) / r_orig < 0.05).all()
