@@ -341,6 +341,19 @@ def _q_kll_text_len_per_lang(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _set_op_query(op: str):
+    def run(sf_dir: str):
+        import ray.data as rd
+        from raysketch.pipeline import key_set_op
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+        events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id"])
+        return key_set_op(cust, "c_custkey", events, "user_id", op=op,
+                          key_name="custkey")
+    return run
+
+
 def _q_tumbling_hourly(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import tumbling_window_agg
@@ -589,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_freq": _q_cms_token_freq,
         "text_len_quantiles_per_lang": _q_text_len_quantiles_per_lang,
         "kll_text_len_per_lang": _q_kll_text_len_per_lang,
+        "custkeys_with_events": _set_op_query("intersect"),
+        "custkeys_without_events": _set_op_query("except"),
         "tumbling_hourly_events": _q_tumbling_hourly,
         "hopping_halfhour_events": _q_hopping_events,
         "distinct_users_per_hour": _q_distinct_users_per_hour,
@@ -671,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
                       AS tok FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
         """,
+        "custkeys_with_events": (
+            "SELECT c_custkey AS custkey FROM customer INTERSECT "
+            "SELECT user_id FROM events"),
+        "custkeys_without_events": (
+            "SELECT c_custkey AS custkey FROM customer EXCEPT "
+            "SELECT user_id FROM events"),
         "tumbling_hourly_events": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n, SUM(value) AS sum_value "

@@ -545,6 +545,46 @@ def resumable_write(ds, out_dir: str, key_col: str, num_shards: int = 16,
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def key_set_op(left_ds, left_col: str, right_ds, right_col: str,
+               op: str = "intersect", key_name: str = "key"):
+    """Exact distributed set operation over two key columns (DISTINCT
+    semantics): 'intersect', 'except' (left - right), or 'union'.
+
+    Shape: per-batch np.unique + side tag -> ONE shuffle on the key ->
+    per-group presence test.  Only deduped (key, side) pairs cross the
+    exchange; both sides may be large (no broadcast)."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op {op!r}")
+    from ray.data.aggregate import Max, Min
+
+    def tag(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = np.unique(np.asarray(t[col]))
+            return pa.table({key_name: pa.array(u),
+                             "side": pa.array(
+                                 np.full(len(u), side, dtype=np.int8))})
+        return fn
+
+    both = (left_ds.map_batches(tag(left_col, 0), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(right_col, 1),
+                                        batch_format="pyarrow")))
+    agg = both.groupby(key_name).aggregate(
+        Min("side", alias_name="min_side"), Max("side", alias_name="max_side"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t["min_side"])
+        hi = np.asarray(t["max_side"])
+        if op == "intersect":
+            mask = (lo == 0) & (hi == 1)
+        elif op == "except":
+            mask = (lo == 0) & (hi == 0)
+        else:
+            mask = np.ones(len(lo), dtype=bool)
+        return pa.table({key_name: t[key_name].filter(pa.array(mask))})
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
 def distinct_keys(ds, key_col: str):
     """Exact distributed dedup of one column: per-batch np.unique partial,
     then hash-partitioned groupby -- only already-deduped keys shuffle
