@@ -419,6 +419,32 @@ def _q_events_orders_asof(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_latest_page_per_url(sf_dir: str):
+    """Recency dedup: max(warc_ts) per url -- per-batch pandas combiner
+    max, then one groupby(url).max shuffle of (url, ts) pairs only."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+    pages = pages_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"url": np.asarray(t["url"]),
+                           "warc_ts": np.asarray(t["warc_ts"])})
+        g = df.groupby("url", as_index=False)["warc_ts"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+                 .groupby("url")
+                 .aggregate(Max("warc_ts", alias_name="latest_ts")))
+
+
+def _q_sample_pages(sf_dir: str):
+    """Seeded uniform row sample (rows-only: sampling is nondeterministic
+    across Ray versions even when seeded per-block; size bounds tested)."""
+    pages = pages_dataset(sf_dir)
+    return pages.random_sample(0.05, seed=42).map_batches(
+        lambda t: t.select(["url", "lang"]), batch_format="pyarrow")
+
+
 def _q_topk_hosts(sf_dir: str):
     return topk_by_count(pages_dataset(sf_dir),
                          lambda t: host_of(t["url"]), k=20,
@@ -597,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "bpe_token_stats_docs": _q_bpe_tokens,
+        "latest_page_per_url": _q_latest_page_per_url,
+        "sample_pages_5pct": _q_sample_pages,
         "topk_hosts": _q_topk_hosts,
         "token_freq_topk": _q_token_freq_topk,
         "cms_token_freq": _q_cms_token_freq,
@@ -676,6 +704,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_urls_per_host": (
             f"SELECT {HOST_SQL} AS host, COUNT(DISTINCT url) AS n_urls "
             f"FROM {PAGES_SQL} AS pages GROUP BY 1"),
+        "latest_page_per_url": (
+            f"SELECT url, MAX(warc_ts) AS latest_ts FROM {PAGES_SQL} "
+            "AS pages GROUP BY 1"),
         "topk_hosts": (
             f"SELECT {HOST_SQL} AS host, COUNT(*) AS n FROM {PAGES_SQL} "
             "AS pages GROUP BY 1 ORDER BY n DESC, host LIMIT 20"),
