@@ -40,10 +40,18 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     else:
         seg_empty = np.zeros(len(seg_total), dtype=np.int64)
     n_tokens = seg_total - seg_empty
-    # distinct tokens: no arrow kernel -> python-set per doc (cold path)
-    pylists = toks.to_pylist()
-    uniq_counts = np.array(
-        [len({w for w in ws if w}) for ws in pylists], dtype=np.int64)
+    # distinct tokens per doc: vectorized via pandas drop_duplicates on
+    # (doc_idx, token) -- no python-set loop
+    if len(flat):
+        import pandas as pd
+        doc_idx = np.repeat(np.arange(len(seg_total)), seg_total)
+        df = pd.DataFrame({"d": doc_idx, "t": np.asarray(flat)})
+        df = df[df["t"] != ""].drop_duplicates()
+        vc = df.groupby("d").size()
+        uniq_counts = np.zeros(len(seg_total), dtype=np.int64)
+        uniq_counts[vc.index.values] = vc.values
+    else:
+        uniq_counts = np.zeros(len(seg_total), dtype=np.int64)
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_chars": pc.utf8_length(batch[text_col]),
@@ -52,28 +60,66 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """(flat lowered non-empty tokens, doc_idx per token, n_docs) --
+    the shared vectorized tokenization for quality/langid."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets)
+    flat = toks.values
+    seg_total = offsets[1:] - offsets[:-1]
+    doc_idx = np.repeat(np.arange(len(seg_total)), seg_total)
+    keep = np.asarray(pc.not_equal(flat, "")) if len(flat) else \
+        np.zeros(0, dtype=bool)
+    return flat.filter(pa.array(keep)) if len(flat) else flat, \
+        doc_idx[keep] if len(flat) else doc_idx, len(seg_total)
+
+
+def _per_doc_sum(values: np.ndarray, doc_idx: np.ndarray,
+                 n_docs: int) -> np.ndarray:
+    out = np.zeros(n_docs, dtype=np.float64)
+    np.add.at(out, doc_idx, values)
+    return out
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features: length, mean token length, stopword
-    ratio, alpha ratio, repetition ratio -- composite score in [0,1]."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.zeros(n, np.int64)
-    n_tokens = np.zeros(n, np.int64)
-    mean_tok_len = np.zeros(n, np.float64)
-    stop_ratio = np.zeros(n, np.float64)
-    alpha_ratio = np.zeros(n, np.float64)
-    rep_ratio = np.zeros(n, np.float64)
-    all_stop = set().union(*_STOPWORDS.values())
-    for i, t in enumerate(texts):
-        n_chars[i] = len(t)
-        toks = t.lower().split()
-        n_tokens[i] = len(toks)
-        if toks:
-            mean_tok_len[i] = sum(map(len, toks)) / len(toks)
-            stop_ratio[i] = sum(w in all_stop for w in toks) / len(toks)
-            rep_ratio[i] = 1.0 - len(set(toks)) / len(toks)
-        if t:
-            alpha_ratio[i] = sum(c.isalpha() or c.isspace() for c in t) / len(t)
+    ratio, alpha ratio, repetition ratio -- composite score in [0,1].
+    Fully vectorized: RE2 char-class counts + flattened-token reductions
+    (no per-document python loop)."""
+    import pandas as pd
+
+    n = len(batch)
+    n_chars = np.asarray(pc.utf8_length(batch[text_col]), dtype=np.int64)
+    flat, doc_idx, _ = _doc_tokens(batch, text_col)
+    n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    safe_tok = np.maximum(n_tokens, 1)
+
+    tok_lens = np.asarray(pc.utf8_length(flat), dtype=np.float64) \
+        if len(flat) else np.zeros(0)
+    mean_tok_len = _per_doc_sum(tok_lens, doc_idx, n) / safe_tok
+
+    all_stop = sorted(set().union(*_STOPWORDS.values()))
+    is_stop = np.asarray(pc.is_in(flat, value_set=pa.array(all_stop))
+                         ).astype(np.float64) if len(flat) else np.zeros(0)
+    stop_ratio = _per_doc_sum(is_stop, doc_idx, n) / safe_tok
+
+    # distinct tokens per doc (pandas drop_duplicates, C path)
+    if len(flat):
+        df = pd.DataFrame({"d": doc_idx, "t": np.asarray(flat)})
+        vc = df.drop_duplicates().groupby("d").size()
+        uniq = np.zeros(n, dtype=np.int64)
+        uniq[vc.index.values] = vc.values
+    else:
+        uniq = np.zeros(n, dtype=np.int64)
+    rep_ratio = np.where(n_tokens > 0, 1.0 - uniq / safe_tok, 0.0)
+
+    # alpha-or-space chars via RE2 unicode classes (matches str.isalpha
+    # for letters; \s for whitespace)
+    alpha = np.asarray(pc.count_substring_regex(
+        batch[text_col], r"[\p{L}\s]"), dtype=np.float64)
+    alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
     length_ok = np.clip(n_tokens / 20.0, 0, 1)
     score = (0.3 * length_ok + 0.3 * alpha_ratio
              + 0.2 * (1 - rep_ratio) + 0.2 * np.clip(stop_ratio * 5, 0, 1))
@@ -89,37 +135,49 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Language-ID actor: profiles compiled once per actor (__init__, the
-    stateful-stage pattern), scored per batch.  Heuristic: stopword hit
-    rates per language + CJK codepoint share for zh."""
+    """Language-ID actor: stopword profiles compiled to Arrow value sets
+    once per actor (__init__, the stateful-stage pattern), scored per batch
+    fully vectorized (flattened-token is_in per language + RE2 Han-class
+    counts for zh; no per-document python loop)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.profiles = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)     # iteration order = tie order
+        self.value_sets = {lang: pa.array(sorted(ws))
+                           for lang, ws in _STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        langs = []
-        confs = []
-        for t in texts:
-            toks = t.lower().split()
-            cjk = sum(1 for c in t if "一" <= c <= "鿿")
-            if t and cjk / max(1, len(t.replace(" ", ""))) > 0.2:
-                langs.append("zh")
-                confs.append(min(1.0, cjk / max(1, len(toks) or 1)))
-                continue
-            best, best_hits = "en", -1.0
-            for lang, prof in self.profiles.items():
-                hits = sum(w in prof for w in toks)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-            confs.append(best_hits / max(1, len(toks)))
+        n = len(batch)
+        flat, doc_idx, _ = _doc_tokens(batch, self.text_col)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        hits = np.zeros((len(self.langs), n), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            m = np.asarray(pc.is_in(flat, value_set=self.value_sets[lang])
+                           ).astype(np.float64) if len(flat) else np.zeros(0)
+            hits[li] = _per_doc_sum(m, doc_idx, n)
+        best = np.argmax(hits, axis=0)       # first max wins = dict order
+        best_hits = hits[best, np.arange(n)]
+        langs_arr = np.array(self.langs, dtype=object)[best]
+        confs = best_hits / np.maximum(1, n_tokens)
+
+        # zh override: CJK share of non-space chars > 0.2
+        cjk = np.asarray(pc.count_substring_regex(
+            batch[self.text_col], r"[\x{4E00}-\x{9FFF}]"),
+            dtype=np.float64)
+        n_chars = np.asarray(pc.utf8_length(batch[self.text_col]),
+                             dtype=np.float64)
+        n_spaces = np.asarray(pc.count_substring_regex(
+            batch[self.text_col], r" "), dtype=np.float64)
+        nonspace = np.maximum(1, n_chars - n_spaces)
+        is_zh = (n_chars > 0) & (cjk / nonspace > 0.2)
+        langs_arr = np.where(is_zh, "zh", langs_arr)
+        confs = np.where(
+            is_zh, np.minimum(1.0, cjk / np.maximum(1, n_tokens)), confs)
         return pa.table({
             self.id_col: batch[self.id_col],
-            "pred_lang": pa.array(langs),
-            "confidence": pa.array(np.array(confs, dtype=np.float64)),
+            "pred_lang": pa.array(langs_arr.astype(str)),
+            "confidence": pa.array(confs.astype(np.float64)),
         })
 
 
