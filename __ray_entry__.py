@@ -279,11 +279,25 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Near-dup pairs over embeddings + deterministic planted duplicates
+    (vec_id+100000, vector scaled by 0.999 -- cosine 1.0 with its source),
+    so the LSH-bucketed detector has real positives to find."""
     import ray.data as rd
     from raysketch.dedup import embedding_neardup_pairs
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(emb, "embedding", "vec_id",
+
+    def plant(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t["vec_id"]) % 5) == 0
+        sub = t.filter(pa.array(keep))
+        vecs = np.stack(sub["embedding"].to_pandas().values) * 0.999
+        return pa.table({
+            "vec_id": pc.add(sub["vec_id"], 100000),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        })
+
+    corpus = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
+    return embedding_neardup_pairs(corpus, "embedding", "vec_id",
                                    threshold=0.95, bits=8)
 
 
