@@ -288,13 +288,20 @@ def _q_embedding_neardup(sf_dir: str):
                           columns=["vec_id", "embedding"])
 
     def plant(t: pa.Table) -> pa.Table:
+        # planted ids are source+100000; the testdata embeddings tables
+        # hold <=5000 vectors so no collision with real ids is possible
         keep = (np.asarray(t["vec_id"]) % 5) == 0
         sub = t.filter(pa.array(keep))
+        out_schema = pa.schema([("vec_id", t.schema.field("vec_id").type),
+                                ("embedding",
+                                 t.schema.field("embedding").type)])
+        if len(sub) == 0:       # batch with no multiple-of-5 ids
+            return out_schema.empty_table()
         vecs = np.stack(sub["embedding"].to_pandas().values) * 0.999
         return pa.table({
             "vec_id": pc.add(sub["vec_id"], 100000),
-            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
-        })
+            "embedding": pa.array(list(vecs)),
+        }).cast(out_schema)     # keep the source value type (list<float>)
 
     corpus = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
     return embedding_neardup_pairs(corpus, "embedding", "vec_id",

@@ -25,6 +25,16 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _fake_dims(payload_hashes: np.ndarray):
+    """Deterministic fake image dimensions from payload hashes -- SHARED
+    by DecodeImage and ResizeImage so the stubs compose (a resize of a
+    decoded image sees the same original dimensions)."""
+    w = (128 + (payload_hashes % np.uint64(512))).astype(np.int64)
+    h = (128 + ((payload_hashes >> np.uint64(16)) % np.uint64(512))
+         ).astype(np.int64)
+    return w, h
+
+
 class DecodeImage:
     """Actor-pool decode stage.  Real pipelines: small batch_size (payloads
     are MBs), concurrency sized to CPU, decode library loaded ONCE here."""
@@ -43,8 +53,7 @@ class DecodeImage:
                 "no image codec in this environment; construct with "
                 "fake=True for the deterministic stub decode")
         h = hash_strings(batch["payload"])
-        width = (128 + (h % np.uint64(512))).astype(np.int64)
-        height = (128 + ((h >> np.uint64(16)) % np.uint64(512))).astype(np.int64)
+        width, height = _fake_dims(h)
         t = self.thumb
         # fake "pixels": deterministic bytes derived from the payload hash
         feats = []
@@ -78,8 +87,8 @@ class ResizeImage:
             raise NotImplementedError(
                 "no image codec in this environment; use fake=True")
         h = hash_strings(batch["payload"])
-        w = (128 + (h % np.uint64(512))).astype(np.float64)
-        ht = (128 + ((h >> np.uint64(16)) % np.uint64(512))).astype(np.float64)
+        wi, hi = _fake_dims(h)
+        w, ht = wi.astype(np.float64), hi.astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, ht))
         return pa.table({
             "media_id": batch["media_id"],

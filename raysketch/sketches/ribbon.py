@@ -249,17 +249,30 @@ class RibbonFilter(Sketch):
             acc = acc ^ np.bitwise_xor.reduce(sel, axis=1)
         return acc == expected
 
+    #: hash-derivation version stamped into serialized payloads; bumped
+    #: when the position/coefficient derivation changes so stale filters
+    #: fail LOUDLY instead of silently returning false negatives
+    DERIVATION = "remix1"
+
     def to_bytes(self) -> bytes:
         return pack(self.kind,
                     {"seed": self.seed, "coeff_bits": self.coeff_bits,
                      "result_bits": self.result_bits,
-                     "num_keys": self.num_keys},
+                     "num_keys": self.num_keys,
+                     "derivation": self.DERIVATION},
                     {"solution": self.solution})
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "RibbonFilter":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        got = meta.get("derivation")
+        if got != cls.DERIVATION:
+            raise ValueError(
+                f"ribbon payload uses hash derivation {got!r} but this "
+                f"code probes with {cls.DERIVATION!r}; rebuild the filter "
+                "(probing a stale payload would mass-produce false "
+                "negatives)")
         return cls(meta["seed"], arrays["solution"].copy(),
                    meta["coeff_bits"], meta["result_bits"], meta["num_keys"])
 

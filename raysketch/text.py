@@ -60,10 +60,21 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# Unicode-whitespace class matching python str.split()/str.isspace():
+# RE2's \s is ASCII-only, but Common-Crawl text is full of NBSP and other
+# \p{Z} separators, so quality/langid tokenization must use the full set
+# (\p{Z} covers Zs/Zl/Zp incl. NBSP/U+2028/U+2029; \x{85} NEL and
+# \x{1C}-\x{1F} separators are White_Space too).  token_stats/BPE keep
+# plain \s+ deliberately -- that rule is pinned 1:1 with their DuckDB
+# oracles.
+UNICODE_WS = r"[\s\p{Z}\x{85}\x{1C}-\x{1F}]"
+
+
 def _doc_tokens(batch: pa.Table, text_col: str):
     """(flat lowered non-empty tokens, doc_idx per token, n_docs) --
     the shared vectorized tokenization for quality/langid."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                  UNICODE_WS + "+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets)
@@ -115,10 +126,11 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
         uniq = np.zeros(n, dtype=np.int64)
     rep_ratio = np.where(n_tokens > 0, 1.0 - uniq / safe_tok, 0.0)
 
-    # alpha-or-space chars via RE2 unicode classes (matches str.isalpha
-    # for letters; \s for whitespace)
+    # alpha-or-whitespace chars via RE2 unicode classes (matches
+    # str.isalpha for letters; UNICODE_WS for str.isspace)
     alpha = np.asarray(pc.count_substring_regex(
-        batch[text_col], r"[\p{L}\s]"), dtype=np.float64)
+        batch[text_col], r"[\p{L}" + UNICODE_WS[1:-1] + "]"),
+        dtype=np.float64)
     alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
     length_ok = np.clip(n_tokens / 20.0, 0, 1)
     score = (0.3 * length_ok + 0.3 * alpha_ratio

@@ -61,12 +61,14 @@ def hopping_window_agg(ds, ts_col: str, window_s: int, hop_s: int,
         ts = np.asarray(t[ts_col]).astype("datetime64[us]").astype(np.int64)
         hop_us = hop_s * 1_000_000
         win_us = window_s * 1_000_000
-        # latest hop-aligned start <= ts, then walk back n_covers starts
+        # latest hop-aligned start <= ts, then walk back n_covers starts;
+        # every generated start covers ts by construction (smallest start
+        # = last - win + hop > ts - win), so each event lands in exactly
+        # n_covers windows
         last = (ts // hop_us) * hop_us
         starts = last[:, None] - np.arange(n_covers)[None, :] * hop_us
-        mask = ts[:, None] < starts + win_us          # always true; keep
-        rows = np.repeat(np.arange(len(ts)), n_covers)[mask.ravel()]
-        win = starts.ravel()[mask.ravel()]
+        rows = np.repeat(np.arange(len(ts)), n_covers)
+        win = starts.ravel()
         df = pd.DataFrame({c: np.asarray(t[c])[rows] for c in dim_cols})
         df["window_start"] = win.astype("datetime64[us]")
         df["pc"] = 1

@@ -79,12 +79,16 @@ def main() -> int:
         "mem_bytes": int(pdf["mem_bytes"].sum()),
         "checkpoint_dir": args.checkpoint_dir,
     }
+    failed = False
     if args.probe_self:
         hits = probe(ft, ds, args.key_col).sum("hit")
         report["self_probe_hits"] = int(hits)
         report["zero_false_negatives"] = bool(hits == n)
-        assert hits == n, "false negatives detected"
+        failed = hits != n        # report prints first; -O-safe exit code
     print(json.dumps(report))
+    if failed:
+        print("ERROR: false negatives detected", file=sys.stderr)
+        return 2
     return 0
 
 

@@ -133,3 +133,32 @@ def test_ribbon_space_overhead_small():
     f = RibbonFilter.build(h, 64, 16)
     overhead = f.mem_usage() / f.ideal_mem_usage() - 1
     assert overhead < 0.10
+
+
+def test_ribbon_stale_payload_rejected():
+    """Payloads from before the hash-derivation change must fail LOUDLY,
+    not silently return false negatives."""
+    import json
+    import struct
+
+    import pytest as _pt
+
+    from raysketch.sketches import RibbonFilter, sketch_from_bytes
+    from raysketch.sketches.base import _MAGIC
+
+    f = RibbonFilter.build(np.arange(100, dtype=np.uint64))
+    rt = sketch_from_bytes(f.to_bytes())
+    assert rt.check(np.arange(100, dtype=np.uint64)).all()
+
+    # forge a pre-remix payload: same arrays, meta without `derivation`
+    header = json.dumps({
+        "kind": "ribbon",
+        "meta": {"seed": f.seed, "coeff_bits": f.coeff_bits,
+                 "result_bits": f.result_bits, "num_keys": f.num_keys},
+        "arrays": [{"name": "solution", "dtype": f.solution.dtype.str,
+                    "shape": list(f.solution.shape)}],
+    }, separators=(",", ":")).encode()
+    stale = b"".join([_MAGIC, struct.pack("<I", len(header)), header,
+                      f.solution.tobytes()])
+    with _pt.raises(ValueError, match="derivation"):
+        sketch_from_bytes(stale)

@@ -248,3 +248,18 @@ def test_resize_stub_dims(ray_session):
     r_orig = out["orig_width"] / out["orig_height"]
     r_new = out["width"] / out["height"]
     assert (abs(r_orig - r_new) / r_orig < 0.05).all()
+
+
+def test_unicode_whitespace_tokenization(ray_session):
+    """NBSP / ideographic-space separated text (ubiquitous in HTML-derived
+    corpora) must tokenize like str.split() does."""
+    import pyarrow as pa
+    from raysketch.text import LangId, quality_scores
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["the\xa0cat\xa0and\xa0the",
+                           "das　ist　ein　und"]})
+    out = LangId()(t).to_pydict()
+    assert out["pred_lang"] == ["en", "de"]
+    q = quality_scores(t).to_pydict()
+    assert q["n_tokens"] == [4, 4]
+    assert all(abs(a - 1.0) < 1e-9 for a in q["alpha_ratio"])
