@@ -26,12 +26,19 @@ CONFIGS = [
     ("xorf3_16", lambda h: XorFilter.build(h, fp_bits=16, arity=3), 3 * (1 / 65536)),
     ("xorf4_16", lambda h: XorFilter.build(h, fp_bits=16, arity=4), 3 * (1 / 65536)),
     ("xorf3_32", lambda h: XorFilter.build(h, fp_bits=32, arity=3), 1e-6),
+    ("xorf4_32", lambda h: XorFilter.build(h, fp_bits=32, arity=4), 1e-6),
     ("ribbon32_8", lambda h: RibbonFilter.build(h, 32, 8), 3 * (1 / 256)),
     ("ribbon64_8", lambda h: RibbonFilter.build(h, 64, 8), 3 * (1 / 256)),
     ("ribbon64_16", lambda h: RibbonFilter.build(h, 64, 16), 3 * (1 / 65536)),
     ("ribbon64_32", lambda h: RibbonFilter.build(h, 64, 32), 1e-6),
+    ("ribbon128_8", lambda h: RibbonFilter.build(h, 128, 8), 3 * (1 / 256)),
     ("ribbon128_16", lambda h: RibbonFilter.build(h, 128, 16), 3 * (1 / 65536)),
+    ("ribbon128_32", lambda h: RibbonFilter.build(h, 128, 32), 1e-6),
 ]
+# full byte-aligned parity with the reference FILTERS matrix
+# (src/tests.zig:97-126); its non-byte-aligned widths (u7/u9/u10/u11/u12/
+# u20) are declared broken pending bit-packing (reference README.md:19-20)
+# and deliberately excluded.
 
 IDS = [c[0] for c in CONFIGS]
 
