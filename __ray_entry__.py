@@ -375,12 +375,25 @@ def _set_op_query(op: str):
     return run
 
 
+def _round_sum(ds):
+    """Round sum_value to 6 decimals on the Ray side, mirroring the
+    ROUND(...,6) in the oracle: float addition order differs between
+    Ray's partial-aggregate tree and DuckDB's sequential sum, so raw
+    last-bit drift would fail a strict value-hash."""
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(t["sum_value"], ndigits=6)),
+        batch_format="pyarrow")
+
+
 def _q_tumbling_hourly(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import tumbling_window_agg
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["ts", "event_type", "value"])
-    return tumbling_window_agg(events, "ts", 3600, ["event_type"], "value")
+    return _round_sum(
+        tumbling_window_agg(events, "ts", 3600, ["event_type"], "value"))
 
 
 def _q_hopping_events(sf_dir: str):
@@ -388,8 +401,8 @@ def _q_hopping_events(sf_dir: str):
     from raysketch.windows import hopping_window_agg
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["ts", "event_type", "value"])
-    return hopping_window_agg(events, "ts", 3600, 1800,
-                              ["event_type"], "value")
+    return _round_sum(hopping_window_agg(events, "ts", 3600, 1800,
+                                         ["event_type"], "value"))
 
 
 def _q_distinct_users_per_hour(sf_dir: str):
@@ -422,7 +435,8 @@ def _q_session_windows(sf_dir: str):
     from raysketch.windows import session_windows
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["user_id", "ts", "value"])
-    return session_windows(events, "user_id", "ts", "value", gap_s=1800)
+    return _round_sum(
+        session_windows(events, "user_id", "ts", "value", gap_s=1800))
 
 
 def _q_events_orders_asof(sf_dir: str):
@@ -746,14 +760,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events"),
         "tumbling_hourly_events": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "COUNT(*) AS n, SUM(value) AS sum_value "
+            "COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"),
         "hopping_halfhour_events": """
             SELECT TIMESTAMP '1970-01-01'
                      + to_microseconds(CAST(
                          (FLOOR(epoch_us(ts) / 1800000000) - i)
                          * 1800000000 AS BIGINT)) AS window_start,
-                   event_type, COUNT(*) AS n, SUM(value) AS sum_value
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
             FROM events CROSS JOIN (VALUES (0), (1)) AS hops(i)
             GROUP BY 1, 2
         """,
@@ -775,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events,
-                   SUM(value) AS sum_value
+                   ROUND(SUM(value), 6) AS sum_value
             FROM y GROUP BY 1, 2
         """,
         "events_orders_asof": """
