@@ -155,7 +155,12 @@ def _q_bottomk_url_sample(sf_dir: str):
 
 def _q_fpr_report(sf_dir: str):
     """The bench observable (reference src/bench.zig:221-238): per filter
-    config, probe 4096 known-absent keys, report FPR + space overhead."""
+    config, probe 4096 known-absent keys, report FPR + space overhead +
+    the reference's query-cost model (cost = hits * 200_000ns +
+    query_time_ns, each false positive charged a simulated 200us disk
+    read -- reference README.md:54, src/bench.zig:82)."""
+    import time as _t
+
     import ray.data as rd
     pages = pages_dataset(sf_dir).materialize()
     absent = rd.from_items(
@@ -166,7 +171,9 @@ def _q_fpr_report(sf_dir: str):
         ft = build_filter_table(pages, "url", kind, params,
                                 num_partitions=8).materialize()
         pdf = ft.to_pandas()
+        t0 = _t.perf_counter()
         hits = probe(ft, absent, "url", concurrency=2).sum("hit") or 0
+        query_ns = int((_t.perf_counter() - t0) * 1e9)
         mem = int(pdf["mem_bytes"].sum())
         ideal = int(pdf["ideal_bytes"].sum())
         rows.append({
@@ -177,6 +184,8 @@ def _q_fpr_report(sf_dir: str):
             "mem_bytes": mem, "ideal_bytes": ideal,
             "space_overhead": mem / ideal - 1 if ideal else 0.0,
             "build_s_sum": float(pdf["build_s"].sum()),
+            "query_time_ns": query_ns,
+            "est_query_cost_ns": int(hits) * 200_000 + query_ns,
         })
     return pd.DataFrame(rows)
 
