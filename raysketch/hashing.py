@@ -142,10 +142,16 @@ def hash_bytes_u64(offsets: np.ndarray, data: np.ndarray,
                         alens = alens[keep]
                         aacc = aacc[keep]
                 gather = padded[(astarts + j)[:, None] + _ARANGE8]
-                rem = np.clip(alens - j, 0, 8)
-                gather = np.where(_ARANGE8 < rem[:, None], gather, 0)
-                word = np.bitwise_or.reduce(
-                    gather.astype(U64) << _BYTE_SHIFTS, axis=1)
+                # zero the bytes past each string's end -- only tail rows
+                # (remaining < 8) need it, and only in their last round
+                rem = alens - j
+                tail = rem < 8
+                if tail.any():
+                    gather[tail] = np.where(
+                        _ARANGE8 < rem[tail, None], gather[tail], 0)
+                # little-endian u64 view == OR of byte k << 8k, without the
+                # (n,8) u64 temp + shift + reduce (2-3x faster)
+                word = gather.view("<u8").ravel()
                 aacc = aacc ^ (word * _GX_P2)
                 aacc = ((aacc << U64(31)) | (aacc >> U64(33))) * _GX_P3 + _GX_P4
                 acc[active_idx] = aacc
