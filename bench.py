@@ -228,10 +228,19 @@ def _scaling() -> None:
     runs = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
-            env=env, capture_output=True, text=True, check=True).stdout
-        runs[n] = json.loads(out.strip().splitlines()[-1])
+        # two runs per level, keep the faster: the first process pays cold
+        # page cache + import costs that otherwise make the second level
+        # look super-linear
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker"],
+                env=env, capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        runs[n] = best
     t_lo, t_hi = runs[lo]["sec"], runs[hi]["sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
