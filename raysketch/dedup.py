@@ -288,9 +288,11 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
 # ---------------------------------------------------------------------------
 
 def simhash_batch(texts_col: pa.Array) -> np.ndarray:
-    """64-bit SimHash over whitespace-token hashes, vectorized per batch."""
+    """64-bit SimHash over whitespace-token hashes, vectorized per batch.
+    Null texts count as empty (trailing nulls otherwise crash reduceat)."""
     import pyarrow.compute as pc
-    toks = pc.split_pattern_regex(pc.utf8_lower(texts_col), r"\s+")
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts_col, "")), r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets)

@@ -134,13 +134,17 @@ def hash_bytes_u64(offsets: np.ndarray, data: np.ndarray,
             active_idx = np.arange(n)
             astarts, alens, aacc = starts, lens, acc
             for j in range(0, max_len, 8):
-                if j > 0:
-                    keep = alens > j
-                    if not keep.all():
-                        active_idx = active_idx[keep]
-                        astarts = astarts[keep]
-                        alens = alens[keep]
-                        aacc = aacc[keep]
+                # filter at EVERY round including j=0: a zero-length row
+                # must get zero mixing rounds regardless of what else is in
+                # the batch, or the same key hashes differently in an
+                # all-empty batch vs a mixed batch (cross-partition
+                # determinism violation)
+                keep = alens > j
+                if not keep.all():
+                    active_idx = active_idx[keep]
+                    astarts = astarts[keep]
+                    alens = alens[keep]
+                    aacc = aacc[keep]
                 gather = padded[(astarts + j)[:, None] + _ARANGE8]
                 # zero the bytes past each string's end -- only tail rows
                 # (remaining < 8) need it, and only in their last round
@@ -171,6 +175,12 @@ def hash_ints(col, seed: int = DEFAULT_SEED) -> np.ndarray:
                           if isinstance(col, pa.ChunkedArray) else col)
     else:
         vals = np.asarray(col)
+    if vals.dtype.kind not in "iu":
+        # float keys would be silently int-truncated (1.2 and 1.9 -> same
+        # hash), collapsing distinct keys -- fail loudly instead
+        raise TypeError(
+            f"hash_ints requires an integer column, got {vals.dtype}; "
+            "hash float keys explicitly (e.g. via their bit pattern)")
     return murmur64a_u64(vals.astype(np.int64).view(U64), seed)
 
 

@@ -121,11 +121,27 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
     params = dict(params or {})
     parts_dir = os.path.join(checkpoint_dir, "parts") if checkpoint_dir else None
     done: set[int] = set()
-    existing = None
+    manifest = {"key_col": key_col, "kind": kind, "params": params,
+                "num_partitions": num_partitions, "seed": seed}
+    if checkpoint_dir:
+        # resume only against a checkpoint built with IDENTICAL build
+        # parameters: mixing partitions routed/built under different
+        # num_partitions/kind/params/seed silently produces false negatives
+        mpath = os.path.join(checkpoint_dir, "MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                existing_manifest = json.load(fh)
+            if existing_manifest != manifest:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was built with "
+                    f"{existing_manifest}, but this run requests "
+                    f"{manifest}; use a fresh checkpoint_dir (resuming "
+                    "across changed build parameters would mix "
+                    "incompatible filters)")
     if parts_dir and os.path.isdir(parts_dir) and any(
             f.endswith(".parquet") for f in os.listdir(parts_dir)):
-        existing = rd.read_parquet(parts_dir)
-        done = {int(r) for r in existing.to_pandas()["partition_id"]}
+        done = {int(r) for r in
+                rd.read_parquet(parts_dir).to_pandas()["partition_id"]}
 
     keys = hashed_keys(ds, key_col, num_partitions, seed)
     if done:
@@ -147,13 +163,9 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         built = built.materialize()
         if built.count() > 0:
             built.write_parquet(parts_dir)
-        manifest = {"key_col": key_col, "kind": kind, "params": params,
-                    "num_partitions": num_partitions, "seed": seed}
         with open(os.path.join(checkpoint_dir, "MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh)
         return rd.read_parquet(parts_dir)
-    if existing is not None:
-        built = built.union(existing)
     return built
 
 

@@ -100,9 +100,11 @@ def register(cls):
 
 
 def sketch_from_bytes(blob: bytes) -> Sketch:
-    kind, _, _ = unpack(blob)
+    """Deserialize any registered sketch -- ONE unpack (decompression +
+    header parse), then dispatch to the class's _from_parts."""
+    kind, meta, arrays = unpack(blob)
     try:
         cls = REGISTRY[kind]
     except KeyError:
         raise ValueError(f"unknown sketch kind {kind!r}") from None
-    return cls.from_bytes(blob)
+    return cls._from_parts(meta, arrays)

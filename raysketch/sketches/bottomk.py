@@ -89,6 +89,10 @@ class BottomKSketch(Sketch):
     def from_bytes(cls, blob: bytes) -> "BottomKSketch":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "BottomKSketch":
         return cls(meta["k"], arrays["hashes"].copy(),
                    arrays["payload"].tobytes(), arrays["offsets"].copy())
 

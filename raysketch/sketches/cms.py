@@ -74,6 +74,10 @@ class CmsSketch(Sketch):
     def from_bytes(cls, blob: bytes) -> "CmsSketch":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "CmsSketch":
         return cls(arrays["table"].copy(), meta["depth"], meta["width"])
 
     def mem_usage(self) -> int:

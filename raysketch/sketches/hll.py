@@ -78,6 +78,10 @@ class HllSketch(Sketch):
     def from_bytes(cls, blob: bytes) -> "HllSketch":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "HllSketch":
         return cls(arrays["registers"].copy(), meta["p"])
 
     def mem_usage(self) -> int:

@@ -164,6 +164,10 @@ class KllSketch(Sketch):
     def from_bytes(cls, blob: bytes) -> "KllSketch":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "KllSketch":
         comps = [arrays[f"c{l}"].copy() for l in range(meta["levels"])]
         return cls(meta["k"], comps, meta["n"], meta["coin"],
                    meta["min"], meta["max"])

@@ -266,6 +266,10 @@ class RibbonFilter(Sketch):
     def from_bytes(cls, blob: bytes) -> "RibbonFilter":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "RibbonFilter":
         got = meta.get("derivation")
         if got != cls.DERIVATION:
             raise ValueError(

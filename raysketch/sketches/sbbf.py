@@ -116,6 +116,10 @@ class SbbfFilter(Sketch):
     def from_bytes(cls, blob: bytes) -> "SbbfFilter":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "SbbfFilter":
         return cls(arrays["words"].copy(), meta["bits_per_key"],
                    meta["num_keys"])
 

@@ -119,6 +119,10 @@ class TDigest(Sketch):
     def from_bytes(cls, blob: bytes) -> "TDigest":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "TDigest":
         return cls(meta["delta"], arrays["means"].copy(),
                    arrays["weights"].copy(), meta["min"], meta["max"])
 

@@ -250,6 +250,10 @@ class XorFilter(Sketch):
     def from_bytes(cls, blob: bytes) -> "XorFilter":
         kind, meta, arrays = unpack(blob)
         assert kind == cls.kind
+        return cls._from_parts(meta, arrays)
+
+    @classmethod
+    def _from_parts(cls, meta, arrays) -> "XorFilter":
         return cls(meta["header"], arrays["fingerprints"].copy(),
                    meta["arity"], meta["fp_bits"], meta["num_keys"])
 

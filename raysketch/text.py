@@ -26,8 +26,11 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + distinct token count + char count.
 
     Token rule (pinned for the SQL oracle): tokens are maximal runs of
-    non-whitespace; n_tokens = count of such runs."""
-    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    non-whitespace; n_tokens = count of such runs.  Null texts count as
+    empty (a trailing null otherwise crashes np.add.reduceat with a
+    segment start == len(flat))."""
+    toks = pc.split_pattern_regex(
+        pc.fill_null(batch[text_col], ""), r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets)
@@ -72,9 +75,11 @@ UNICODE_WS = r"[\s\p{Z}\x{85}\x{1C}-\x{1F}]"
 
 def _doc_tokens(batch: pa.Table, text_col: str):
     """(flat lowered non-empty tokens, doc_idx per token, n_docs) --
-    the shared vectorized tokenization for quality/langid."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
-                                  UNICODE_WS + "+")
+    the shared vectorized tokenization for quality/langid.  Nulls count
+    as empty documents."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+        UNICODE_WS + "+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets)

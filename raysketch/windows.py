@@ -139,8 +139,11 @@ def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
         l = g[g["side"] == 0]
         r = g[g["side"] == 1].sort_values(["ts", "id"], kind="stable")
         if not len(l):
-            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
-                                 "key": pd.Series([], dtype="int64"),
+            # dtypes must follow the actual key/id columns (a right-only
+            # string-keyed group with hardcoded int64 would make block
+            # schemas heterogeneous)
+            return pd.DataFrame({left_id: l["id"],
+                                 "key": l["key"],
                                  right_id: pd.Series([], dtype="float64")})
         lts = l["ts"].values.astype("datetime64[us]").astype(np.int64)
         rts = r["ts"].values.astype("datetime64[us]").astype(np.int64)
