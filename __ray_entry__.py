@@ -46,7 +46,14 @@ _FILTER_CONFIGS = {
 # ---------------------------------------------------------------------------
 
 def _q_pages(sf_dir: str):
-    return pages_dataset(sf_dir)
+    """Dump of the derived pages table.  The data model keeps `html` as a
+    binary column; the dump query decodes it to utf8 (it is utf8 by
+    construction) so the driver's pandas canonicalizer can sort/hash it --
+    binary columns arrive as unhashable bytearrays."""
+    return pages_dataset(sf_dir).map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("html"), "html",
+                               pc.cast(t["html"], pa.string())),
+        batch_format="pyarrow")
 
 
 def _member_query(kind: str, params: dict):
@@ -55,7 +62,7 @@ def _member_query(kind: str, params: dict):
         urls = distinct_keys(pages, "url").materialize()
         ft = build_filter_table(pages, "url", kind, params,
                                 num_partitions=8).materialize()
-        return probe(ft, urls, "url", concurrency=2)
+        return probe(ft, urls, "url")
     return run
 
 
@@ -172,7 +179,7 @@ def _q_fpr_report(sf_dir: str):
                                 num_partitions=8).materialize()
         pdf = ft.to_pandas()
         t0 = _t.perf_counter()
-        hits = probe(ft, absent, "url", concurrency=2).sum("hit") or 0
+        hits = probe(ft, absent, "url").sum("hit") or 0
         query_ns = int((_t.perf_counter() - t0) * 1e9)
         mem = int(pdf["mem_bytes"].sum())
         ideal = int(pdf["ideal_bytes"].sum())
@@ -201,7 +208,7 @@ def _q_member_sbbf_merge(sf_dir: str):
     urls = distinct_keys(pages, "url").materialize()
     ft = build_filter_table_sbbf_merge(pages, "url", bits_per_key=10,
                                        num_partitions=8).materialize()
-    return probe(ft, urls, "url", concurrency=2)
+    return probe(ft, urls, "url")
 
 
 def _q_token_stats(sf_dir: str):
@@ -633,7 +640,7 @@ def entry() -> Any:
         kind, params = _FILTER_CONFIGS[name]
         ft = build_filter_table(pages, "url", kind, params,
                                 num_partitions=4).materialize()
-        n_hit = probe(ft, urls, "url", concurrency=2).sum("hit")
+        n_hit = probe(ft, urls, "url").sum("hit")
         assert n_hit == urls.count(), f"false negatives in {name}"
     return report
 
@@ -689,9 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_urls_per_host": _q_distinct_urls_per_host,
         "hll_urls_per_host": _q_hll_urls_per_host,
     }
+    # every bench config gets an oracle-checked member query, matching the
+    # reference's active bench set (src/bench.zig:112-135)
     for name, (kind, params) in _FILTER_CONFIGS.items():
-        if name in ("sbbf10", "xorf3_16", "ribbon64_16"):
-            q[f"member_{name}"] = _member_query(kind, params)
+        q[f"member_{name}"] = _member_query(kind, params)
     return q
 
 
@@ -699,7 +707,8 @@ def oracle_sql() -> dict[str, str]:
     member = ("SELECT DISTINCT url, TRUE AS hit FROM "
               f"{PAGES_SQL} AS pages")
     return {
-        "pages": f"SELECT * FROM {PAGES_SQL} AS pages",
+        "pages": ("SELECT url, warc_ts, decode(html) AS html, text, lang "
+                  f"FROM {PAGES_SQL} AS pages"),
         "dedup_urls_exact": f"SELECT DISTINCT url FROM {PAGES_SQL} AS pages",
         "distinct_url_count": (
             "SELECT COUNT(DISTINCT url) AS n_distinct FROM "
@@ -722,8 +731,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING')"),
         "member_sbbf10": member,
+        "member_sbbf24": member,
         "member_xorf3_16": member,
+        "member_xorf4_16": member,
         "member_ribbon64_16": member,
+        "member_ribbon128_16": member,
         "member_sbbf10_mergepath": member,
         "token_stats_docs": """
             SELECT doc_id,

@@ -40,6 +40,11 @@ _GX_P4 = U64(0x27D4EB2F165667C5)
 
 DEFAULT_SEED = 0  # reference uses XxHash3 seed 0: src/bench.zig:12
 
+#: version of the string-hash kernel; stamped into every sketch envelope
+#: (sketches/base.py pack) and build-checkpoint MANIFEST so payloads built
+#: under a different kernel fail loudly instead of false-negating silently
+HASH_VERSION = "gxh64-v2"
+
 
 def splitmix64(seed: int):
     """Scalar SplitMix64 generator -> callable returning the next u64.

@@ -118,11 +118,14 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
     """
     import ray.data as rd
 
+    from .hashing import HASH_VERSION
+
     params = dict(params or {})
     parts_dir = os.path.join(checkpoint_dir, "parts") if checkpoint_dir else None
     done: set[int] = set()
     manifest = {"key_col": key_col, "kind": kind, "params": params,
-                "num_partitions": num_partitions, "seed": seed}
+                "num_partitions": num_partitions, "seed": seed,
+                "hash_version": HASH_VERSION}
     if checkpoint_dir:
         # resume only against a checkpoint built with IDENTICAL build
         # parameters: mixing partitions routed/built under different
@@ -138,6 +141,13 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
                     f"{manifest}; use a fresh checkpoint_dir (resuming "
                     "across changed build parameters would mix "
                     "incompatible filters)")
+        # write the manifest BEFORE building: it is fully determined here,
+        # and a crash mid-build must not leave resumable parts/*.parquet
+        # with no manifest (that would let a later resume with different
+        # parameters bypass the equality check above)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh)
     if parts_dir and os.path.isdir(parts_dir) and any(
             f.endswith(".parquet") for f in os.listdir(parts_dir)):
         done = {int(r) for r in
@@ -163,8 +173,6 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         built = built.materialize()
         if built.count() > 0:
             built.write_parquet(parts_dir)
-        with open(os.path.join(checkpoint_dir, "MANIFEST.json"), "w") as fh:
-            json.dump(manifest, fh)
         return rd.read_parquet(parts_dir)
     return built
 
@@ -250,7 +258,10 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
     (ray.put once; workers deserialize once).  No shuffle.
 
     Default path is stateless tasks with a per-worker decoded-filter cache;
-    pass use_actors=True for a dedicated actor pool (same semantics)."""
+    pass use_actors=True for a dedicated actor pool (same semantics).
+    `concurrency` sizes the actor pool; on the task path it is honored as a
+    max-concurrent-tasks cap when explicitly given (None = let the
+    streaming executor schedule freely, the right default)."""
     import ray
 
     pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
@@ -271,7 +282,8 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         hit = _probe_batch(filters, h, num_partitions)
         return batch.append_column(out_col, pa.array(hit))
 
-    return ds.map_batches(probe_task, batch_format="pyarrow")
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(probe_task, batch_format="pyarrow", **kwargs)
 
 
 def build_filter_table_sbbf_merge(ds, key_col: str, bits_per_key: int = 10,

@@ -30,6 +30,7 @@ _COMPRESS_MIN = 4096
 
 
 def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
+    from ..hashing import HASH_VERSION
     specs = []
     payloads = []
     for name, arr in arrays.items():
@@ -38,7 +39,12 @@ def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
             arr = arr.astype(arr.dtype.newbyteorder("<"))
         specs.append({"name": name, "dtype": arr.dtype.str, "shape": list(arr.shape)})
         payloads.append(arr.tobytes())
-    header = json.dumps({"kind": kind, "meta": meta, "arrays": specs},
+    # hash-kernel version stamp: a payload probed by a process whose string
+    # hash kernel differs from the builder's would silently false-negative,
+    # so every envelope carries the kernel version and unpack() hard-fails
+    # on mismatch (generalizes RibbonFilter.DERIVATION to all sketch kinds)
+    header = json.dumps({"kind": kind, "meta": meta, "arrays": specs,
+                         "hashv": HASH_VERSION},
                         separators=(",", ":")).encode()
     raw = b"".join([_MAGIC, struct.pack("<I", len(header)), header, *payloads])
     if len(raw) > _COMPRESS_MIN:
@@ -55,6 +61,13 @@ def unpack(blob: bytes) -> tuple[str, dict, dict[str, np.ndarray]]:
         raise ValueError("bad sketch envelope magic")
     (hlen,) = struct.unpack_from("<I", blob, 4)
     header = json.loads(blob[8:8 + hlen].decode())
+    from ..hashing import HASH_VERSION
+    got = header.get("hashv")
+    if got is not None and got != HASH_VERSION:
+        raise ValueError(
+            f"sketch payload was built with hash kernel {got!r} but this "
+            f"process hashes with {HASH_VERSION!r}; rebuild the sketch "
+            "(probing across kernel versions silently false-negatives)")
     arrays = {}
     off = 8 + hlen
     for spec in header["arrays"]:

@@ -107,7 +107,10 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     import pandas as pd
 
     n = len(batch)
-    n_chars = np.asarray(pc.utf8_length(batch[text_col]), dtype=np.int64)
+    # fill nulls BEFORE the int64 cast: utf8_length(null) is null, and
+    # np.asarray would cast the resulting NaN to an undefined int64
+    text = pc.fill_null(batch[text_col], "")
+    n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
     flat, doc_idx, _ = _doc_tokens(batch, text_col)
     n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     safe_tok = np.maximum(n_tokens, 1)
@@ -134,7 +137,7 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # alpha-or-whitespace chars via RE2 unicode classes (matches
     # str.isalpha for letters; UNICODE_WS for str.isspace)
     alpha = np.asarray(pc.count_substring_regex(
-        batch[text_col], r"[\p{L}" + UNICODE_WS[1:-1] + "]"),
+        text, r"[\p{L}" + UNICODE_WS[1:-1] + "]"),
         dtype=np.float64)
     alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
     length_ok = np.clip(n_tokens / 20.0, 0, 1)

@@ -229,7 +229,7 @@ def test_audio_and_video_stubs(ray_session):
     assert (audio["duration_s"].values == audio2["duration_s"].values).all()
 
 
-def test_multimodal_real_decode_raises(ray_session):
+def test_audio_real_decode_raises(ray_session):
     import pytest as _pt
     from raysketch.multimodal import ExtractAudioFeatures
     import pyarrow as pa
@@ -263,3 +263,16 @@ def test_unicode_whitespace_tokenization(ray_session):
     q = quality_scores(t).to_pydict()
     assert q["n_tokens"] == [4, 4]
     assert all(abs(a - 1.0) < 1e-9 for a in q["alpha_ratio"])
+
+
+def test_quality_scores_null_text(ray_session):
+    """A null text must score like an empty document, not cast NaN->int64."""
+    import pyarrow as pa
+    from raysketch.text import quality_scores
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["hello world", None], pa.string())})
+    q = quality_scores(t).to_pydict()
+    assert q["n_chars"] == [11, 0]
+    assert q["n_tokens"] == [2, 0]
+    # empty doc: every term is 0 except the repetition term (1 - 0) * 0.2
+    assert q["quality_score"][1] == pytest.approx(0.2, abs=1e-9)
