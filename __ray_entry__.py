@@ -230,7 +230,8 @@ def _q_ann_topk(sf_dir: str):
     import ray.data as rd
     from raysketch.ann import brute_force_topk
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
-    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    # query selection without materializing the table on the driver
+    qdf = emb.sort("vec_id").limit(3).to_pandas()
     queries = np.stack(qdf["embedding"].values).astype(np.float64)
     out = brute_force_topk(emb, "embedding", "vec_id", queries, k=5,
                            concurrency=2)
@@ -615,7 +616,7 @@ def _q_ann_ivf(sf_dir: str):
     import ray.data as rd
     from raysketch.ann import ivf_topk
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
-    qdf = emb.to_pandas().sort_values("vec_id").head(3)
+    qdf = emb.sort("vec_id").limit(3).to_pandas()
     queries = np.stack(qdf["embedding"].values).astype(np.float64)
     out = ivf_topk(emb, "embedding", "vec_id", queries, k=5,
                    n_centroids=8, nprobe=4, concurrency=2)

@@ -6,62 +6,181 @@ these are the large-scale operators a 100TB text pipeline needs:
   exact_dedup        hash-partitioned exact dedup, first-writer-wins
   minhash_lsh_pairs  MinHash + banded LSH near-duplicate candidate pairs,
                      verified by signature similarity (n-gram Jaccard est.)
+  ngram_jaccard_pairs  same candidates, verified by EXACT shingle Jaccard
   simhash_pairs      64-bit SimHash, pigeonhole banding, Hamming verify
   embedding_neardup_pairs  cosine near-duplicates over embedding vectors
 
-Shapes: per-batch vectorized signature computation (stateless map_batches)
--> explode to (bucket_key, doc_id) rows (the ONLY shuffled payload)
--> groupby(bucket).map_groups emitting candidate pairs
--> verify with broadcast signatures of the (small) candidate set.
+Distributed shape (no driver-side state anywhere on the pair path):
+  per-batch vectorized signatures (stateless/actor map_batches)
+  -> explode to (bucket_key, doc_id) rows (the only pre-join shuffle payload)
+  -> groupby(bucket).map_groups emitting candidate pairs (hot buckets are
+     chunked deterministically, never silently dropped)
+  -> distributed distinct on (doc_a, doc_b)
+  -> signatures hash-joined onto the pairs (Dataset.join, partitioned)
+  -> per-batch vectorized verify + threshold filter.
+Only the FINAL verified pairs are collected to pandas for the caller.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from .hashing import U64, hash_bytes_u64, hash_strings, murmur64a_u64
+from .hashing import U64, hash_strings, murmur64a_u64, popcount64
 from .util import pool
 
 _MERSENNE61 = (1 << 61) - 1
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+#: buckets larger than this emit pairs per deterministic chunk instead of
+#: all-pairs (O(n*cap) instead of O(n^2)); the chunk permutation is salted
+#: by the bucket key so each band re-chunks independently and recall is
+#: recovered across bands.  Oversized buckets are LOGGED, never dropped.
+HOT_BUCKET_CAP = 1000
 
 
-def exact_dedup(ds, col: str, id_col: str):
+def exact_dedup(ds, col: str, id_col: str, num_partitions: int = 16):
     """Rows whose `id_col` is the minimum within each exact-`col` group.
 
-    Scale shape: shuffle only (content_hash: u64, id: i64); winners are
-    broadcast back as a filter over the full dataset, so wide columns never
-    cross the exchange."""
-    import ray
+    Scale shape: only (h1:i64, h2:i64, id:i64) rows cross the aggregation
+    exchange; the winning ids are then joined back against the dataset with
+    a hash-partitioned left-semi join (Dataset.join) -- no driver
+    materialization and no broadcast, so 10^10+ distinct winners never
+    become driver state.  The group key is TWO independently-seeded 64-bit
+    content hashes, so merging distinct texts needs a ~2^-128 collision
+    (a single u64 key is expected to collide at ~10^10 docs)."""
     from ray.data.aggregate import Min
 
     def project(batch: pa.Table) -> pa.Table:
-        # int64 view of the u64 hash: Ray's aggregate re-emits group keys as
-        # Python ints, and values above 2^63 overflow Arrow int64 inference
-        # (falls back to pickled object blocks) -- the signed view is a
-        # bijection so dedup semantics are unchanged
+        # int64 views of the u64 hashes: Ray's aggregate re-emits group
+        # keys as Python ints and u64 values above 2^63 would fall back to
+        # pickled object blocks; the signed view is a bijection
         return pa.table({
             "h": pa.array(hash_strings(batch[col]).view(np.int64), pa.int64()),
+            "h2": pa.array(hash_strings(batch[col], seed=0x9E3779B97F4A7C15)
+                           .view(np.int64), pa.int64()),
             "id": batch[id_col],
         })
 
     winners = (ds.map_batches(project, batch_format="pyarrow")
-                 .groupby("h").aggregate(Min("id", alias_name="min_id")))
-    winner_ids = np.sort(np.concatenate(
-        [np.asarray(b["min_id"]) for b in
-         winners.iter_batches(batch_format="pyarrow")] or
-        [np.zeros(0, dtype=np.int64)]))
-    ref = ray.put(winner_ids)
+                 .groupby(["h", "h2"])
+                 .aggregate(Min("id", alias_name="min_id"))
+                 .select_columns(["min_id"]))
+    return ds.join(_compact(winners, num_partitions), "left_semi",
+                   num_partitions=num_partitions,
+                   on=(id_col,), right_on=("min_id",))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col])
-        w = ray.get(ref)
-        idx = np.searchsorted(w, ids)
-        idx = np.clip(idx, 0, max(0, len(w) - 1))
-        mask = (len(w) > 0) & (w[idx] == ids)
-        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+# ---------------------------------------------------------------------------
+# shared LSH machinery
+# ---------------------------------------------------------------------------
+
+def _compact(ds, num_blocks: int):
+    """Repartition a groupby/aggregate output before feeding Dataset.join.
+
+    Ray's aggregators emit ZERO-COLUMN empty blocks for empty hash
+    partitions; map ops forward empty blocks without calling the UDF, and
+    the join partition builder then assembles a left/right table without
+    the key column ("No match for FieldRef" ArrowInvalid).  repartition()
+    concatenates blocks and drops the schemaless empties; it also sets a
+    sane block count for the join that follows."""
+    return ds.repartition(num_blocks)
+
+
+def _pairs_from_ids(ids: np.ndarray, bucket_salt: int,
+                    cap: int = HOT_BUCKET_CAP):
+    """All unordered pairs (a < b) of `ids`; buckets above `cap` members
+    are split into deterministic salted chunks of `cap` and pairs are
+    emitted within chunks only (logged, not dropped): a hot bucket of
+    boilerplate text is exactly where the most-duplicated content lives."""
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    n = len(ids)
+    if n < 2:
+        z = np.zeros(0, np.int64)
+        return z, z
+    if n <= cap:
+        a, b = np.triu_indices(n, k=1)
+        return ids[a], ids[b]
+    print(f"[raysketch.dedup] hot bucket: {n} members > cap {cap}; "
+          f"emitting within-chunk pairs only ({(n + cap - 1) // cap} chunks)")
+    perm = np.argsort(murmur64a_u64(ids.view(U64), bucket_salt & _M64))
+    out_a, out_b = [], []
+    for s in range(0, n, cap):
+        chunk = np.sort(ids[perm[s:s + cap]])
+        if len(chunk) < 2:
+            continue
+        a, b = np.triu_indices(len(chunk), k=1)
+        out_a.append(chunk[a])
+        out_b.append(chunk[b])
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+#: shuffle partitions for bucketed pair emission.  Buckets are grouped by
+#: bkey % SHUFFLE_PARTS and one map_groups call processes ALL buckets of a
+#: partition (vectorized run detection) -- grouping by the raw bucket key
+#: would make one Python group-call per bucket (~1ms each; measured 25s+
+#: just in group dispatch at 32k buckets).
+SHUFFLE_PARTS = 64
+
+
+def _pairs_partition_fn(cap: int = HOT_BUCKET_CAP):
+    """map_groups fn over ONE shuffle partition holding many buckets:
+    rows (bkey:int64, doc_id:int64) -> candidate pairs of every bucket.
+    Bucket runs are found with one lexsort; only multi-member runs cost
+    anything beyond the sort."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["bkey"].values
+        ids = g["doc_id"].values
+        order = np.lexsort((ids, k))
+        k_s, id_s = k[order], ids[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], k_s[1:] != k_s[:-1], [True]]))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b = _pairs_from_ids(id_s[s:e], int(k_s[s]), cap)
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                                 "doc_b": np.zeros(0, np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+    return fn
+
+
+def _distinct_pairs(cand):
+    """Distributed distinct on (doc_a, doc_b): the same pair surfaces from
+    up to `bands` buckets and must reach the verify join exactly once."""
+    return (cand.groupby(["doc_a", "doc_b"]).count()
+                .select_columns(["doc_a", "doc_b"]))
+
+
+def _attach(pairs, attrs, num_partitions: int):
+    """Hash-join the per-doc attribute table onto both pair sides.
+
+    attrs must be (doc_id, <one value column>); output carries the value
+    column twice, suffixed _a/_b.  Two partitioned inner joins -- the
+    cluster-scale replacement for the former driver-side dict lookup."""
+    j = pairs.join(attrs, "inner", num_partitions=num_partitions,
+                   on=("doc_a",), right_on=("doc_id",))
+    return j.join(attrs, "inner", num_partitions=num_partitions,
+                  on=("doc_b",), right_on=("doc_id",),
+                  left_suffix="_a", right_suffix="_b")
+
+
+def _collect_pairs(out_ds, extra: dict[str, str]) -> pd.DataFrame:
+    """Driver collection of the FINAL verified pairs only (the result the
+    caller asked for; all candidate/verify stages stayed distributed)."""
+    df = out_ds.to_pandas()
+    cols = ["doc_a", "doc_b", *extra]
+    if not len(df):
+        return pd.DataFrame({c: pd.Series([], dtype=extra.get(c, "int64"))
+                             for c in cols})
+    return (df[cols].sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -160,27 +279,20 @@ def minhash_signatures(ds, text_col: str, id_col: str, num_perm: int = 128,
         concurrency=pool(concurrency))
 
 
-def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
-                      bands: int = 32, shingle_k: int = 5,
-                      threshold: float = 0.5, concurrency: int = 4):
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+def _lsh_candidates(sigs, num_perm: int, bands: int,
+                    hot_cap: int = HOT_BUCKET_CAP):
+    """Banded-LSH candidate pairs (distinct, distributed).
 
-    banded LSH: rows/band r = num_perm//bands; a pair collides in some band
-    with prob 1-(1-j^r)^bands.  Candidate pairs are verified against the
-    full signatures (est_jaccard = fraction of equal minhashes), which
-    estimates n-gram (shingle) Jaccard within ~1/sqrt(num_perm)."""
-    import pandas as pd
-
+    A pair colliding in some band (prob 1-(1-j^r)^bands, r=num_perm//bands)
+    surfaces from that band's groupby; distinct-ing on (doc_a, doc_b)
+    happens in a second groupby, never on the driver."""
     r = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
-                              concurrency).materialize()
 
     def banded(batch: pa.Table) -> pa.Table:
         n = len(batch)
         sig = np.frombuffer(b"".join(s.as_py() for s in batch["sig"]),
                             dtype=U64).reshape(n, num_perm)
         ids = np.asarray(batch["doc_id"]).repeat(bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         bh = np.empty((n, bands), dtype=U64)
         for b in range(bands):
             chunk = sig[:, b * r:(b + 1) * r]
@@ -188,99 +300,129 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
             with np.errstate(over="ignore"):
                 for j in range(r):
                     acc = murmur64a_u64(acc ^ chunk[:, j], b)
-            bh[:, b] = acc
+            # fold the band index into the bucket key: one int64 key per
+            # (band, bucket) so a single coarse shuffle partitions ALL
+            # bands' buckets at once
+            bh[:, b] = murmur64a_u64(acc, 1000 + b)
+        bkey = bh.reshape(-1)
         return pa.table({
-            "band": pa.array(band_ids),
-            "bh": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+            "part": pa.array((bkey % U64(SHUFFLE_PARTS)).astype(np.int32)),
+            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
             "doc_id": pa.array(ids),
         })
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].values)
-        if len(ids) < 2 or len(ids) > 1000:  # hot-bucket guard (log + skip)
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
     cand = (sigs.map_batches(banded, batch_format="pyarrow")
-                .groupby(["band", "bh"])
-                .map_groups(pairs_of_group, batch_format="pandas"))
-    cand_pdf = cand.to_pandas().drop_duplicates()
-    if not len(cand_pdf):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "est_jaccard": pd.Series([], dtype="float64")})
+                .groupby("part")
+                .map_groups(_pairs_partition_fn(hot_cap),
+                            batch_format="pandas"))
+    return _distinct_pairs(cand)
 
-    # verify against full signatures of the (small) candidate set
-    need = np.unique(np.concatenate([cand_pdf["doc_a"], cand_pdf["doc_b"]]))
-    sig_map: dict[int, np.ndarray] = {}
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        ids = np.asarray(b["doc_id"])
-        mask = np.isin(ids, need)
-        for i in np.flatnonzero(mask):
-            sig_map[int(ids[i])] = np.frombuffer(b["sig"][i].as_py(), dtype=U64)
-    sa = np.stack([sig_map[i] for i in cand_pdf["doc_a"]])
-    sb = np.stack([sig_map[i] for i in cand_pdf["doc_b"]])
-    est = (sa == sb).mean(axis=1)
-    out = cand_pdf.assign(est_jaccard=est)
-    out = out[out["est_jaccard"] >= threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
+                      bands: int = 32, shingle_k: int = 5,
+                      threshold: float = 0.5, concurrency: int = 4,
+                      num_partitions: int = 8,
+                      hot_cap: int = HOT_BUCKET_CAP):
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    Candidates come from banded LSH; verification hash-joins the full
+    signatures onto the pair rows (two partitioned inner joins) and
+    compares them vectorized per batch -- no signature dict, no candidate
+    materialization on the driver.  est_jaccard = fraction of equal
+    minhashes, which estimates shingle Jaccard within ~1/sqrt(num_perm)."""
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                              concurrency).materialize()
+    cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
+    if cand.count() == 0:
+        return _collect_pairs(cand, {"est_jaccard": "float64"})
+    joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                           dtype=U64).reshape(n, num_perm)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                           dtype=U64).reshape(n, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "est_jaccard": pa.array(est),
+        }).filter(pa.array(keep))
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return _collect_pairs(out, {"est_jaccard": "float64"})
 
 
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
                         threshold: float = 0.5, num_perm: int = 128,
-                        bands: int = 32, concurrency: int = 4):
+                        bands: int = 32, concurrency: int = 4,
+                        num_partitions: int = 8,
+                        hot_cap: int = HOT_BUCKET_CAP):
     """Near-duplicate pairs by EXACT character-n-gram Jaccard similarity
     (doc_a < doc_b, jaccard >= threshold).
 
-    MinHash banding supplies the candidate pairs (same LSH shape as
-    minhash_lsh_pairs), but verification computes the true shingle-set
-    Jaccard |A∩B| / |A∪B| -- not the signature estimate -- over a second
-    distributed pass restricted to candidate docs.  Only candidate docs'
-    deduped shingle hashes reach the driver."""
-    import pandas as pd
-    import ray
+    MinHash banding supplies the candidates; verification re-shingles ONLY
+    candidate docs (left-semi join restricts the corpus -- no broadcast id
+    set), hash-joins the deduped shingle-hash blobs onto the pairs, and
+    computes |A∩B|/|A∪B| per batch with one vectorized pandas merge over
+    all pairs in the batch (no per-pair python loop)."""
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                              concurrency).materialize()
+    cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
+    if cand.count() == 0:
+        return _collect_pairs(cand, {"jaccard": "float64"})
+    cand = _compact(cand, num_partitions).materialize()
 
-    cand = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
-                             bands=bands, shingle_k=shingle_k,
-                             threshold=0.0, concurrency=concurrency)
-    if not len(cand):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    need_ref = ray.put(need)
+    need = (cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("doc_id").count().select_columns(["doc_id"]))
+    docs_sub = ds.join(_compact(need, num_partitions), "left_semi",
+                       num_partitions=num_partitions,
+                       on=(id_col,), right_on=("doc_id",))
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col])
-        mask = np.isin(ids, ray.get(need_ref))
-        if not mask.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "shingles": pa.array([], pa.large_binary())})
-        sub = batch.filter(pa.array(mask))
+    def shingle_blobs(batch: pa.Table) -> pa.Table:
         texts = [t.encode() if isinstance(t, str) else bytes(t)
-                 for t in sub[text_col].to_pylist()]
+                 for t in batch[text_col].to_pylist()]
         sh, starts = _char_shingle_hashes(texts, shingle_k)
         blobs = [sh[starts[i]:starts[i + 1]].tobytes()
                  for i in range(len(texts))]
-        return pa.table({id_col: sub[id_col],
-                         "shingles": pa.array(blobs, pa.large_binary())})
+        return pa.table({"doc_id": batch[id_col],
+                         "sh": pa.array(blobs, pa.large_binary())})
 
-    sets: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(shingle_sets, batch_format="pyarrow"
-                            ).iter_batches(batch_format="pyarrow"):
-        for i, blob in zip(np.asarray(b[id_col]), b["shingles"]):
-            sets[int(i)] = np.frombuffer(blob.as_py(), dtype=U64)
-    jac = np.zeros(len(cand))
-    for row, (a, b_) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
-        sa, sb = sets[int(a)], sets[int(b_)]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac[row] = inter / union if union else 1.0
-    out = pd.DataFrame({"doc_a": cand["doc_a"].values,
-                        "doc_b": cand["doc_b"].values, "jaccard": jac})
-    out = out[out["jaccard"] >= threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    blobs = docs_sub.map_batches(shingle_blobs, batch_format="pyarrow")
+    joined = _attach(cand, blobs, num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_blobs = batch["sh_a"].to_pylist()
+        b_blobs = batch["sh_b"].to_pylist()
+        la = np.array([len(b) // 8 for b in a_blobs], dtype=np.int64)
+        lb = np.array([len(b) // 8 for b in b_blobs], dtype=np.int64)
+        n = len(batch)
+        # one merge over ALL pairs in the batch: explode both sides to
+        # (pair_idx, shingle_hash) and count matching rows per pair
+        fa = pd.DataFrame({"i": np.repeat(np.arange(n), la),
+                           "h": np.frombuffer(b"".join(a_blobs), dtype=U64)
+                           .view(np.int64)})
+        fb = pd.DataFrame({"i": np.repeat(np.arange(n), lb),
+                           "h": np.frombuffer(b"".join(b_blobs), dtype=U64)
+                           .view(np.int64)})
+        inter = np.zeros(n, dtype=np.int64)
+        if len(fa) and len(fb):
+            m = fa.merge(fb, on=["i", "h"]).groupby("i").size()
+            inter[m.index.values] = m.values
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "jaccard": pa.array(jac),
+        }).filter(pa.array(keep))
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return _collect_pairs(out, {"jaccard": "float64"})
 
 
 # ---------------------------------------------------------------------------
@@ -312,109 +454,162 @@ def simhash_batch(texts_col: pa.Array) -> np.ndarray:
     return out
 
 
-def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
+def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                  num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP):
     """Near-dup pairs by SimHash: pigeonhole over 4 x 16-bit bands (any pair
-    with hamming <= 3 must agree exactly on >= 1 band), verified by exact
-    Hamming distance on the candidate set."""
-    import pandas as pd
+    with hamming <= 3 must agree exactly on >= 1 band); candidates are
+    verified by exact Hamming distance after hash-joining the simhashes
+    onto the pair rows (vectorized SWAR popcount, no driver dict)."""
 
     def compute(batch: pa.Table) -> pa.Table:
         sh = simhash_batch(batch[text_col])
         return pa.table({"doc_id": batch[id_col],
-                         "simhash": pa.array(sh, pa.uint64())})
+                         "simhash": pa.array(sh.view(np.int64), pa.int64())})
 
     sigs = ds.map_batches(compute, batch_format="pyarrow").materialize()
 
     def banded(batch: pa.Table) -> pa.Table:
-        sh = np.asarray(batch["simhash"], dtype=U64)
+        sh = np.asarray(batch["simhash"]).view(U64)
         ids = np.asarray(batch["doc_id"])
-        rows_band, rows_key, rows_id = [], [], []
+        rows_key, rows_id = [], []
         for b in range(4):
             key = (sh >> U64(16 * b)) & U64(0xFFFF)
-            rows_band.append(np.full(len(sh), b, dtype=np.int32))
-            rows_key.append(key)
+            rows_key.append(murmur64a_u64(key, 2000 + b))  # band folded in
             rows_id.append(ids)
-        return pa.table({"band": pa.array(np.concatenate(rows_band)),
-                         "key": pa.array(
-                             np.concatenate(rows_key).view(np.int64),
-                             pa.int64()),
-                         "doc_id": pa.array(np.concatenate(rows_id))})
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].values)
-        if len(ids) < 2 or len(ids) > 1000:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        bkey = np.concatenate(rows_key)
+        return pa.table({
+            "part": pa.array((bkey % U64(SHUFFLE_PARTS)).astype(np.int32)),
+            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(rows_id)),
+        })
 
     cand = (sigs.map_batches(banded, batch_format="pyarrow")
-                .groupby(["band", "key"])
-                .map_groups(pairs_of_group, batch_format="pandas")
-                .to_pandas().drop_duplicates())
-    if not len(cand):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    sh_map = {}
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        for i, s in zip(np.asarray(b["doc_id"]),
-                        np.asarray(b["simhash"], dtype=U64)):
-            sh_map[int(i)] = int(s)
-    x = np.array([sh_map[i] for i in cand["doc_a"]], dtype=np.uint64)
-    y = np.array([sh_map[i] for i in cand["doc_b"]], dtype=np.uint64)
-    ham = np.array([bin(v).count("1") for v in (x ^ y).tolist()])
-    out = cand.assign(hamming=ham)
-    out = out[out["hamming"] <= max_hamming]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+                .groupby("part")
+                .map_groups(_pairs_partition_fn(hot_cap),
+                            batch_format="pandas"))
+    cand = _distinct_pairs(cand).materialize()
+    if cand.count() == 0:
+        return _collect_pairs(cand, {"hamming": "int64"})
+    joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["simhash_a"]).view(U64)
+        y = np.asarray(batch["simhash_b"]).view(U64)
+        ham = popcount64(x ^ y).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "hamming": pa.array(ham),
+        }).filter(pa.array(keep))
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return _collect_pairs(out, {"hamming": "int64"})
 
 
 # ---------------------------------------------------------------------------
 # Embedding near-duplicates
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
-                            threshold: float = 0.98, bits: int = 16,
-                            lsh_seed: int = 7):
-    """Cosine near-dup via random-hyperplane LSH bucketing + exact verify.
+class _HyperplaneLSH:
+    """Stateful bucketing stage: the random hyperplanes are generated ONCE
+    per actor in __init__ (seeded, so every actor derives the identical
+    planes), not per batch."""
 
-    Stage 1: project each vector on `bits` fixed random hyperplanes ->
-    bucket key; only (key, id, vec) rows of same-bucket docs meet.  Pairs
-    verified by exact cosine.  At 10^12 scale the same shape holds with
-    multiple independent hash tables to recover recall."""
-    import pandas as pd
+    def __init__(self, vec_col: str, id_col: str, bits: int, lsh_seed: int):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bits = bits
+        self.seed = lsh_seed
+        self.planes = None  # lazily sized from the first batch's dim
 
-    def stage(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[vec_col].to_pandas().values).astype(np.float64)
-        rng = np.random.default_rng(lsh_seed)
-        planes = rng.standard_normal((vecs.shape[1], bits))
-        proj = vecs @ planes > 0
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pandas().values
+                        ).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((vecs.shape[1], self.bits))
+        proj = vecs @ self.planes > 0
         key = np.bitwise_or.reduce(
-            proj.astype(np.uint64) << np.arange(bits, dtype=np.uint64), axis=1)
+            proj.astype(np.uint64) << np.arange(self.bits, dtype=np.uint64),
+            axis=1)
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1
         unit = vecs / norm
         return pa.table({
+            "part": pa.array((murmur64a_u64(key, 3000)
+                              % U64(SHUFFLE_PARTS)).astype(np.int32)),
             "key": pa.array(key.view(np.int64), pa.int64()),
-            "doc_id": batch[id_col],
+            "doc_id": batch[self.id_col],
             "unit": pa.array(list(unit), pa.list_(pa.float64())),
         })
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 2000:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
-        order = np.argsort(g["doc_id"].values)
-        ids = g["doc_id"].values[order]
-        units = np.stack(g["unit"].values[order])
-        sim = units @ units.T
-        a, b = np.triu_indices(len(ids), k=1)
-        mask = sim[a, b] >= threshold
-        return pd.DataFrame({"doc_a": ids[a[mask]], "doc_b": ids[b[mask]],
-                             "cosine": sim[a[mask], b[mask]]})
 
-    out = (ds.map_batches(stage, batch_format="pyarrow")
-             .groupby("key")
-             .map_groups(pairs_of_group, batch_format="pandas")
-             .to_pandas())
+def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
+                            threshold: float = 0.98, bits: int = 16,
+                            lsh_seed: int = 7, concurrency: int = 4,
+                            cap: int = 2000):
+    """Cosine near-dup via random-hyperplane LSH bucketing + exact verify.
+
+    Stage 1 (actor pool, planes built once per actor): project each vector
+    on `bits` fixed hyperplanes -> bucket key; only same-bucket docs meet.
+    Pairs are verified by exact cosine inside the bucket group; buckets
+    above `cap` members are chunked deterministically (logged, not
+    dropped).  At 10^12 scale the same shape holds with multiple
+    independent hash tables to recover recall."""
+
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One shuffle partition = many buckets: lexsort finds the bucket
+        runs; each run is verified by exact cosine (chunked above `cap`)."""
+        empty = pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                              "doc_b": np.zeros(0, np.int64),
+                              "cosine": np.zeros(0, np.float64)})
+        if len(g) < 2:
+            return empty
+        k = g["key"].values
+        ids_all = g["doc_id"].values.astype(np.int64)
+        order = np.lexsort((ids_all, k))
+        k_s, id_s = k[order], ids_all[order]
+        units_all = np.stack(g["unit"].values)[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], k_s[1:] != k_s[:-1], [True]]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            ids = id_s[s:e]
+            units = units_all[s:e]
+            chunks = [np.arange(n)]
+            if n > cap:
+                print(f"[raysketch.dedup] hot embedding bucket: {n} members"
+                      f" > cap {cap}; verifying within-chunk pairs only")
+                salt = int(k_s[s]) & _M64
+                perm = np.argsort(murmur64a_u64(ids.view(U64), salt))
+                chunks = [np.sort(perm[c:c + cap])
+                          for c in range(0, n, cap)]
+            for sel in chunks:
+                if len(sel) < 2:
+                    continue
+                sim = units[sel] @ units[sel].T
+                a, b = np.triu_indices(len(sel), k=1)
+                mask = sim[a, b] >= threshold
+                out_a.append(ids[sel[a[mask]]])
+                out_b.append(ids[sel[b[mask]]])
+                out_c.append(sim[a[mask], b[mask]])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    bucketed = ds.map_batches(
+        _HyperplaneLSH, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
+                                   bits=bits, lsh_seed=lsh_seed),
+        concurrency=pool(concurrency))
+    out = (bucketed.groupby("part")
+                   .map_groups(pairs_of_partition, batch_format="pandas")
+                   .to_pandas())
     if not len(out):
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

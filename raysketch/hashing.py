@@ -217,6 +217,18 @@ def partition_ids(hashes: np.ndarray, num_partitions: int) -> np.ndarray:
         return ((U64(num_partitions) * h_hi) >> U64(32)).astype(np.uint32)
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Set-bit count per u64 (vectorized SWAR; numpy<2 has no bitwise_count)."""
+    x = np.asarray(x, dtype=U64).copy()
+    with np.errstate(over="ignore"):
+        x -= (x >> U64(1)) & U64(0x5555555555555555)
+        x = (x & U64(0x3333333333333333)) + \
+            ((x >> U64(2)) & U64(0x3333333333333333))
+        x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+        x = (x * U64(0x0101010101010101)) >> U64(56)
+    return x.astype(np.int64)
+
+
 def clz64(x: np.ndarray) -> np.ndarray:
     """Count of leading zero bits for each u64 (vectorized, integer-exact)."""
     x = np.asarray(x, dtype=U64)

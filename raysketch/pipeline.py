@@ -198,6 +198,22 @@ def load_filters(filter_table) -> dict[int, object]:
 _FILTER_CACHE: dict[str, dict[int, object]] = {}
 _FILTER_CACHE_MAX = 8
 
+# Same idea for SINGLE partition payloads on the colocated probe path.
+_SINGLE_FILTER_CACHE: dict[str, object] = {}
+_SINGLE_FILTER_CACHE_MAX = 64
+
+
+def _cached_single_filter(ref):
+    import ray
+    key = ref.hex()
+    f = _SINGLE_FILTER_CACHE.get(key)
+    if f is None:
+        f = sketch_from_bytes(ray.get(ref))
+        if len(_SINGLE_FILTER_CACHE) >= _SINGLE_FILTER_CACHE_MAX:
+            _SINGLE_FILTER_CACHE.pop(next(iter(_SINGLE_FILTER_CACHE)))
+        _SINGLE_FILTER_CACHE[key] = f
+    return f
+
 
 def _cached_filters(blobs_ref) -> dict[int, object]:
     import ray
@@ -251,21 +267,76 @@ class Prober:
         return batch.append_column(self.out_col, pa.array(hit))
 
 
-def probe(filter_table, ds, key_col: str, out_col: str = "hit",
-          concurrency: int | None = None, seed: int = 0,
-          use_actors: bool = False):
-    """ds + boolean membership column, via a broadcast of the filter table
-    (ray.put once; workers deserialize once).  No shuffle.
+def probe_colocated(filter_table, ds, key_col: str, out_col: str = "hit",
+                    seed: int = 0):
+    """Partition-colocated probe for filter tables too large to broadcast.
 
-    Default path is stateless tasks with a per-worker decoded-filter cache;
-    pass use_actors=True for a dedicated actor pool (same semantics).
-    `concurrency` sizes the actor pool; on the task path it is honored as a
-    max-concurrent-tasks cap when explicitly given (None = let the
-    streaming executor schedule freely, the right default)."""
+    Each payload goes to the object store INDIVIDUALLY (ray.put per
+    partition); probe rows shuffle once by their partition id and each
+    group task fetches + decodes ONLY its own partition's filter (cached
+    per worker).  Per-task state is one filter instead of the whole table,
+    so a 10^6-partition / multi-TB filter table never assembles anywhere.
+    Output rows are identical to probe() but arrive groupby-ordered."""
     import ray
 
     pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
         else filter_table
+    num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
+    refs = {int(r["partition_id"]): ray.put(bytes(r["payload"]))
+            for _, r in pdf.iterrows()}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch[key_col], seed)
+        pid = partition_ids(h, num_partitions)
+        return batch.append_column("__pid",
+                                   pa.array(pid.astype(np.int32)))
+
+    def probe_group(group: pa.Table) -> pa.Table:
+        pid = int(group["__pid"][0].as_py())
+        body = group.drop_columns(["__pid"])
+        ref = refs.get(pid)
+        if ref is None:
+            hit = np.zeros(len(body), dtype=bool)
+        else:
+            f = _cached_single_filter(ref)
+            hit = f.check(hash_column(body[key_col], seed))
+        return body.append_column(out_col, pa.array(hit))
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("__pid")
+              .map_groups(probe_group, batch_format="pyarrow"))
+
+
+#: filter tables above this total payload size are probed colocated
+#: instead of broadcast (a broadcast ships the WHOLE table to every node;
+#: at the 1M-keys/partition target a 10^12-key corpus is ~2TB of state)
+PROBE_BROADCAST_LIMIT = 128 << 20
+
+
+def probe(filter_table, ds, key_col: str, out_col: str = "hit",
+          concurrency: int | None = None, seed: int = 0,
+          use_actors: bool = False,
+          max_broadcast_bytes: int = PROBE_BROADCAST_LIMIT):
+    """ds + boolean membership column.
+
+    Small filter tables (total payload <= max_broadcast_bytes): broadcast
+    (ray.put once; workers deserialize once), no shuffle.  Larger tables
+    dispatch to probe_colocated() -- one shuffle of the probe rows by
+    partition id, one filter per task.  Both paths produce identical hit
+    columns (pytest-verified); only row order differs.
+
+    Default broadcast path is stateless tasks with a per-worker
+    decoded-filter cache; pass use_actors=True for a dedicated actor pool
+    (same semantics).  `concurrency` sizes the actor pool; on the task
+    path it is honored as a max-concurrent-tasks cap when explicitly given
+    (None = let the streaming executor schedule freely)."""
+    import ray
+
+    pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
+        else filter_table
+    total_bytes = int(sum(len(p) for p in pdf["payload"])) if len(pdf) else 0
+    if total_bytes > max_broadcast_bytes:
+        return probe_colocated(pdf, ds, key_col, out_col, seed)
     blobs = {int(r["partition_id"]): bytes(r["payload"])
              for _, r in pdf.iterrows()}
     num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1

@@ -67,6 +67,73 @@ def test_simhash_finds_exact_and_near(ray_session):
     assert (ham0["hamming"] == 0).all()
 
 
+def test_minhash_hot_bucket_still_finds_dups(ray_session):
+    """A bucket above the hot cap must be chunked (salted per band), not
+    silently dropped: identical docs in a 60-member bucket with cap=20
+    still produce plenty of verified est_jaccard=1.0 pairs."""
+    import ray.data as rd
+    from raysketch.dedup import minhash_lsh_pairs
+    rows = [{"doc_id": i, "text": "the same boilerplate text repeated "
+             "over and over for every page footer"} for i in range(60)]
+    # plus unrelated filler so the corpus isn't a single bucket
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    rows += [{"doc_id": 1000 + i,
+              "text": " ".join(rng.choice(vocab, 40).tolist())}
+             for i in range(20)]
+    pairs = minhash_lsh_pairs(rd.from_items(rows), "text", "doc_id",
+                              num_perm=64, bands=16, threshold=0.9,
+                              hot_cap=20)
+    dup_pairs = pairs[(pairs["doc_a"] < 60) & (pairs["doc_b"] < 60)]
+    # per band: 3 chunks of 20 -> 570 within-chunk pairs; bands use
+    # different salts so the union across 16 bands is much larger
+    assert len(dup_pairs) >= 570
+    assert (dup_pairs["est_jaccard"] == 1.0).all()
+
+
+def test_minhash_verify_multiblock_parity(ray_session):
+    """The distributed signature-join verify must give identical pairs
+    regardless of block partitioning."""
+    import ray.data as rd
+    from raysketch.dedup import minhash_lsh_pairs
+    ds = _docs_with_dups(ray_session)
+    one = minhash_lsh_pairs(ds, "text", "doc_id", num_perm=128, bands=32,
+                            threshold=0.5, num_partitions=1)
+    many = minhash_lsh_pairs(ds.repartition(13), "text", "doc_id",
+                             num_perm=128, bands=32, threshold=0.5,
+                             num_partitions=7)
+    assert one[["doc_a", "doc_b"]].values.tolist() == \
+        many[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(one["est_jaccard"], many["est_jaccard"])
+
+
+def test_exact_dedup_multiblock(ray_session):
+    """Semi-join winner filtering (no driver broadcast) across many
+    blocks/partitions."""
+    from raysketch.dedup import exact_dedup
+    ds = _docs_with_dups(ray_session).repartition(11)
+    out = exact_dedup(ds, "text", "doc_id", num_partitions=5).to_pandas()
+    assert set(out["doc_id"]) == set(range(60)) | {200, 201, 202, 203, 204}
+
+
+def test_embedding_hot_bucket(ray_session):
+    """An oversized embedding bucket is verified per chunk, not dropped."""
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(16)
+    rows = [{"vec_id": i,
+             "embedding": (v + rng.standard_normal(16) * 1e-3).tolist()}
+            for i in range(30)]
+    pairs = embedding_neardup_pairs(rd.from_items(rows), "embedding",
+                                    "vec_id", threshold=0.999, bits=4,
+                                    cap=10)
+    # 30 near-identical vectors in one bucket, cap 10 -> 3 chunks of 10
+    # -> at least 3 * C(10,2) = 135 verified pairs
+    assert len(pairs) >= 135
+    assert (pairs["cosine"] >= 0.999).all()
+
+
 def test_embedding_neardup(ray_session):
     import ray.data as rd
     from raysketch.dedup import embedding_neardup_pairs

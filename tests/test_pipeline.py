@@ -187,3 +187,32 @@ def test_resumable_write_skips_done_shards(ray_session, tmp_path):
     assert total2 == 1000
     # no tmp droppings
     assert not [f for f in os.listdir(out_dir) if ".tmp-" in f]
+
+
+def test_probe_colocated_matches_broadcast(ray_session, pages):
+    """The partition-colocated probe (large-filter-table path) must produce
+    identical hit columns to the broadcast probe, on present AND absent
+    keys, and the size-based dispatch must route through it."""
+    import ray.data as rd
+    from raysketch.pipeline import build_filter_table, probe, probe_colocated
+
+    ft = build_filter_table(pages, "url", "xorf",
+                           {"fp_bits": 16, "arity": 3},
+                           num_partitions=4).materialize()
+    absent = rd.from_items(
+        [{"url": f"https://nope-{i}.example.net/{i}"} for i in range(512)])
+    mixed = pages.map_batches(lambda t: t.select(["url"]),
+                              batch_format="pyarrow").union(absent)
+
+    bc = (probe(ft, mixed, "url").to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    co = (probe_colocated(ft, mixed, "url").to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    assert (bc["url"] == co["url"]).all()
+    assert (bc["hit"] == co["hit"]).all()
+
+    # dispatch: a 1-byte broadcast budget must route through the colocated
+    # path and still give the same answer
+    small = (probe(ft, mixed, "url", max_broadcast_bytes=1).to_pandas()
+             .sort_values("url").reset_index(drop=True))
+    assert (bc["hit"] == small["hit"]).all()
