@@ -67,9 +67,8 @@ def exact_dedup(ds, col: str, id_col: str, num_partitions: int = 16):
                  .groupby(["h", "h2"])
                  .aggregate(Min("id", alias_name="min_id"))
                  .select_columns(["min_id"]))
-    return ds.join(_compact(winners, num_partitions), "left_semi",
-                   num_partitions=num_partitions,
-                   on=(id_col,), right_on=("min_id",))
+    return _join(ds, _compact(winners, num_partitions), "left_semi",
+                 num_partitions, (id_col,), ("min_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +85,27 @@ def _compact(ds, num_blocks: int):
     concatenates blocks and drops the schemaless empties; it also sets a
     sane block count for the join that follows."""
     return ds.repartition(num_blocks)
+
+
+def _join(left, right, join_type: str, num_partitions: int, on, right_on,
+          **kw):
+    """Dataset.join with aggregator CPUs sized to the cluster.
+
+    Ray's hash-join aggregator actors default to 1 CPU each; a pipeline
+    with several concurrent joins then demands num_joins x num_partitions
+    CPUs and DEADLOCKS on small clusters (observed: 3 join pools x 8
+    aggregators on a 4-cpu pytest session; with a 0.125-cpu floor the 32
+    aggregators still summed to the whole cluster and starved the map
+    tasks).  Cap each pool at ~1/8 of the cluster so several pools plus
+    the upstream map tasks always fit; aggregator work is bursty, so
+    fractional CPUs merely timeshare."""
+    import ray
+    ncpu = float(ray.cluster_resources().get("CPU", 8.0))
+    agg_cpus = float(min(1.0, max(1.0 / 64, (ncpu / 8.0) / num_partitions)))
+    return left.join(right, join_type, num_partitions=num_partitions,
+                     on=on, right_on=right_on,
+                     aggregator_ray_remote_args={"num_cpus": agg_cpus},
+                     **kw)
 
 
 def _pairs_from_ids(ids: np.ndarray, bucket_salt: int,
@@ -164,11 +184,10 @@ def _attach(pairs, attrs, num_partitions: int):
     attrs must be (doc_id, <one value column>); output carries the value
     column twice, suffixed _a/_b.  Two partitioned inner joins -- the
     cluster-scale replacement for the former driver-side dict lookup."""
-    j = pairs.join(attrs, "inner", num_partitions=num_partitions,
-                   on=("doc_a",), right_on=("doc_id",))
-    return j.join(attrs, "inner", num_partitions=num_partitions,
-                  on=("doc_b",), right_on=("doc_id",),
-                  left_suffix="_a", right_suffix="_b")
+    j = _join(pairs, attrs, "inner", num_partitions, ("doc_a",),
+              ("doc_id",))
+    return _join(j, attrs, "inner", num_partitions, ("doc_b",),
+                 ("doc_id",), left_suffix="_a", right_suffix="_b")
 
 
 def _collect_pairs(out_ds, extra: dict[str, str]) -> pd.DataFrame:
@@ -379,9 +398,8 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
         batch_format="pyarrow")
         .groupby("doc_id").count().select_columns(["doc_id"]))
-    docs_sub = ds.join(_compact(need, num_partitions), "left_semi",
-                       num_partitions=num_partitions,
-                       on=(id_col,), right_on=("doc_id",))
+    docs_sub = _join(ds, _compact(need, num_partitions), "left_semi",
+                     num_partitions, (id_col,), ("doc_id",))
 
     def shingle_blobs(batch: pa.Table) -> pa.Table:
         texts = [t.encode() if isinstance(t, str) else bytes(t)

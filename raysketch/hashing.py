@@ -40,10 +40,36 @@ _GX_P4 = U64(0x27D4EB2F165667C5)
 
 DEFAULT_SEED = 0  # reference uses XxHash3 seed 0: src/bench.zig:12
 
+#: Active string-hash kernel.
+#:   "gxh64" -- the fast NumPy kernel (default; ~2M urls/s/core)
+#:   "xxh3"  -- byte-compatible XXH3-64 (raysketch/xxh3.py, validated
+#:              against the published sanity vectors): filters built under
+#:              this kernel are key-compatible with the reference engine's
+#:              XxHash3-seeded filters (src/bench.zig:10-14), at ~7x the
+#:              hash cost in pure NumPy.
+#: Select at process start via RAYSKETCH_HASH_KERNEL=xxh3 (inherited by
+#: local Ray workers) or set_kernel() BEFORE any Ray stage runs.  The
+#: HASH_VERSION envelope stamp (sketches/base.py) makes cross-kernel
+#: build/probe mixing fail loudly rather than false-negate.
+import os as _os
+
+KERNEL = _os.environ.get("RAYSKETCH_HASH_KERNEL", "gxh64")
+
 #: version of the string-hash kernel; stamped into every sketch envelope
 #: (sketches/base.py pack) and build-checkpoint MANIFEST so payloads built
 #: under a different kernel fail loudly instead of false-negating silently
-HASH_VERSION = "gxh64-v2"
+HASH_VERSION = {"gxh64": "gxh64-v2", "xxh3": "xxh3-v1"}[KERNEL]
+
+
+def set_kernel(name: str) -> None:
+    """Switch the string-hash kernel ("gxh64" | "xxh3").
+
+    Must happen before any hashing/building -- on a cluster, set the
+    RAYSKETCH_HASH_KERNEL environment variable instead so every worker
+    process makes the same choice."""
+    global KERNEL, HASH_VERSION
+    HASH_VERSION = {"gxh64": "gxh64-v2", "xxh3": "xxh3-v1"}[name]
+    KERNEL = name
 
 
 def splitmix64(seed: int):
@@ -121,11 +147,19 @@ _ARANGE8 = np.arange(8, dtype=np.int64)
 
 def hash_bytes_u64(offsets: np.ndarray, data: np.ndarray,
                    seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Hash n variable-length byte strings described by (offsets, data).
+    """Hash n variable-length byte strings described by (offsets, data)
+    with the ACTIVE kernel (see KERNEL above)."""
+    if KERNEL == "xxh3":
+        from .xxh3 import xxh3_64
+        return xxh3_64(offsets, data, seed)
+    return _gxh64_bytes(offsets, data, seed)
 
-    Chunked kernel: processes 8 input bytes per round, each round fully
-    vectorized over all still-active rows; rounds = ceil(max_len/8).
-    """
+
+def _gxh64_bytes(offsets: np.ndarray, data: np.ndarray,
+                 seed: int = DEFAULT_SEED) -> np.ndarray:
+    """gxh64: chunked kernel processing 8 input bytes per round, each
+    round fully vectorized over all still-active rows; rounds =
+    ceil(max_len/8)."""
     starts = offsets[:-1]
     lens = (offsets[1:] - starts).astype(np.int64)
     n = len(starts)

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, decoded / feature-extracted by actor-pool stages.
 
-The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode kernels are STUBS: `DecodeImage(fake=True)` runs a
-deterministic fake decode (dimensions/features derived from the bytes) so
-the Ray-side plumbing -- schema, batch sizing, actor signature, output
-layout -- is real and tested; `fake=False` raises NotImplementedError at
-the exact point a codec would be called.
+Codec libraries are OPTIONAL dependencies, imported once per actor in
+__init__ (the stateful-stage pattern): `DecodeImage(fake=False)` uses
+Pillow when importable and raises NotImplementedError at construction
+when it is not (this container has no codecs).  `fake=True` runs a
+deterministic fake decode (dimensions/features derived from the payload
+bytes) with the IDENTICAL output schema, so the Ray-side plumbing --
+schema, batch sizing, actor signature, output layout -- is real and
+tested either way.  tests/test_text_ann.py exercises the real branch
+under `pytest.importorskip` so it runs wherever Pillow exists.
 """
 
 from __future__ import annotations
@@ -35,26 +38,48 @@ def _fake_dims(payload_hashes: np.ndarray):
     return w, h
 
 
+def _import_pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed in this "
+            "environment; construct with fake=True for the deterministic "
+            "stub decode") from e
+
+
 class DecodeImage:
     """Actor-pool decode stage.  Real pipelines: small batch_size (payloads
-    are MBs), concurrency sized to CPU, decode library loaded ONCE here."""
+    are MBs), concurrency sized to CPU, decode library loaded ONCE here
+    (per actor, in __init__ -- missing codec fails at pool construction,
+    not per batch)."""
 
     def __init__(self, fake: bool = False, thumb: int = 8):
         self.fake = fake
         self.thumb = thumb
-        if not fake:
-            # the import would live here (once per actor):
-            #   from PIL import Image
-            self._codec = None
+        self._codec = None if fake else _import_pil()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.thumb
         if not self.fake:
-            raise NotImplementedError(
-                "no image codec in this environment; construct with "
-                "fake=True for the deterministic stub decode")
+            import io
+            widths, heights, feats = [], [], []
+            for payload in batch["payload"].to_pylist():
+                img = self._codec.open(io.BytesIO(payload))
+                widths.append(img.size[0])
+                heights.append(img.size[1])
+                small = img.convert("L").resize((t, t))
+                feats.append(np.asarray(small, dtype=np.float32).reshape(-1))
+            return pa.table({
+                "media_id": batch["media_id"],
+                "width": pa.array(np.array(widths, np.int64)),
+                "height": pa.array(np.array(heights, np.int64)),
+                "thumb_feature": pa.array([f.tolist() for f in feats],
+                                          pa.list_(pa.float32())),
+            })
         h = hash_strings(batch["payload"])
         width, height = _fake_dims(h)
-        t = self.thumb
         # fake "pixels": deterministic bytes derived from the payload hash
         feats = []
         for hv in h:
@@ -79,15 +104,21 @@ class ResizeImage:
     def __init__(self, fake: bool = False, max_side: int = 64):
         self.fake = fake
         self.max_side = max_side
-        if not fake:
-            self._codec = None   # `from PIL import Image` would live here
+        self._codec = None if fake else _import_pil()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "no image codec in this environment; use fake=True")
-        h = hash_strings(batch["payload"])
-        wi, hi = _fake_dims(h)
+            import io
+            ow, oh = [], []
+            for payload in batch["payload"].to_pylist():
+                img = self._codec.open(io.BytesIO(payload))
+                ow.append(img.size[0])
+                oh.append(img.size[1])
+            wi = np.array(ow, np.int64)
+            hi = np.array(oh, np.int64)
+        else:
+            h = hash_strings(batch["payload"])
+            wi, hi = _fake_dims(h)
         w, ht = wi.astype(np.float64), hi.astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, ht))
         return pa.table({
@@ -112,14 +143,37 @@ class ExtractAudioFeatures:
         self.n_mels = n_mels
         self.n_windows = n_windows
         if not fake:
-            # the import would live here (once per actor):
-            #   import torchaudio
-            self._codec = None
+            try:
+                import soundfile  # once per actor
+                self._codec = soundfile
+            except ImportError as e:
+                raise NotImplementedError(
+                    "audio decode requires soundfile (or similar), not "
+                    "installed in this environment; use fake=True") from e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "no audio codec in this environment; use fake=True")
+            import io
+            durs, feats = [], []
+            for payload in batch["payload"].to_pylist():
+                wav, sr = self._codec.read(io.BytesIO(payload))
+                wav = np.asarray(wav, dtype=np.float32)
+                if wav.ndim > 1:
+                    wav = wav.mean(axis=1)
+                durs.append(len(wav) / max(1, sr))
+                # windowed RMS bands as the feature stand-in (real MFCC
+                # would need a dsp lib): n_windows x n_mels grid
+                win = np.array_split(wav, self.n_windows)
+                rows = [np.sqrt(np.mean(np.square(
+                    np.array_split(w, self.n_mels)[m])) + 1e-12)
+                    for w in win for m in range(self.n_mels)]
+                feats.append(np.array(rows, np.float32))
+            return pa.table({
+                "media_id": batch["media_id"],
+                "duration_s": pa.array(np.array(durs, np.float64)),
+                "mfcc": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+            })
         h = hash_strings(batch["payload"])
         dur = (1 + (h % np.uint64(30))).astype(np.float64)
         feats = []
@@ -142,11 +196,36 @@ class SampleFrames:
     def __init__(self, fake: bool = False, n_frames: int = 4):
         self.fake = fake
         self.n_frames = n_frames
+        if not fake:
+            try:
+                import av  # PyAV, once per actor
+                self._codec = av
+            except ImportError as e:
+                raise NotImplementedError(
+                    "video decode requires PyAV, not installed in this "
+                    "environment; use fake=True") from e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "no video codec in this environment; use fake=True")
+            import io
+            ids, frame_no, fh = [], [], []
+            for mid, payload in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+                with self._codec.open(io.BytesIO(payload)) as container:
+                    frames = [f.to_ndarray(format="gray")
+                              for f in container.decode(video=0)]
+                step = max(1, len(frames) // self.n_frames)
+                for j, fi in enumerate(range(0, len(frames), step)
+                                       [:self.n_frames]):
+                    ids.append(mid)
+                    frame_no.append(j)
+                    fh.append(hash_strings(
+                        pa.array([frames[fi].tobytes()]))[0])
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(np.array(frame_no, np.int32)),
+                "frame_hash": pa.array(np.array(fh, np.uint64), pa.uint64()),
+            })
         h = hash_strings(batch["payload"])
         ids = np.asarray(batch["media_id"]).repeat(self.n_frames)
         frame_no = np.tile(np.arange(self.n_frames), len(batch))

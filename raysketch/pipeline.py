@@ -46,19 +46,31 @@ FILTER_TABLE_SCHEMA = pa.schema([
 ])
 
 
-def choose_num_partitions(n_keys: int, target_keys: int = 1_000_000) -> int:
+#: per-kind partition sizing targets.  xorf slack shrinks with n (measured
+#: xorf3_16 overhead: 39% at 2.4k keys/partition, 23% at 20k, 13% at 1M --
+#: reference gets 14.78% at its 1M-key sections), so xorf wants big
+#: partitions.  ribbon (u64 band) is the opposite: the multiplier sweep
+#: needs MORE space as n grows (measured 5.1% at 50k, 7% at 200k, 9% at
+#: 1M) and the band solve is the slowest kernel, so ~200k keys/partition
+#: is both smaller and faster.  sbbf overhead is flat in n.
+PARTITION_TARGET_KEYS = {"xorf": 1_000_000, "ribbon": 200_000,
+                         "sbbf": 1_000_000}
+
+
+def choose_num_partitions(n_keys: int, target_keys: int | None = None,
+                          kind: str = "xorf") -> int:
     """Partition count from corpus size, NOT cluster size: one filter per
     ~target_keys keys (the reference's 1M-key section, src/bench.zig:36-50,
-    bench-data/bench_data.py:8).
+    bench-data/bench_data.py:8), with a per-kind default target
+    (PARTITION_TARGET_KEYS).
 
-    Per-partition key count drives space overhead: binary-fuse/ribbon
-    sizing slack shrinks with n (measured xorf3_16 overhead: 39% at 2.4k
-    keys/partition, 23% at 20k, 13% at 1M -- reference gets 14.78% at its
-    1M-key sections).  At 10^12 keys this yields ~10^6 partitions, far
-    above any cluster's core count, so parallelism is never the binding
-    constraint at scale; undersized corpora simply get fewer build tasks
-    (builds are cheap there anyway -- probe/sketch stages parallelize by
-    block regardless of P)."""
+    At 10^12 keys this yields ~10^6-10^7 partitions, far above any
+    cluster's core count, so parallelism is never the binding constraint
+    at scale; undersized corpora simply get fewer build tasks (builds are
+    cheap there anyway -- probe/sketch stages parallelize by block
+    regardless of P)."""
+    if target_keys is None:
+        target_keys = PARTITION_TARGET_KEYS.get(kind, 1_000_000)
     return max(1, -(-int(n_keys) // int(target_keys)))
 
 

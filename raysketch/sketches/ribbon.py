@@ -109,88 +109,233 @@ def _remix(hashes: np.ndarray, seed: int) -> np.ndarray:
     return murmur64a_u64(np.asarray(hashes, dtype=U64), seed)
 
 
+def _tz64(x: np.ndarray) -> np.ndarray:
+    """Trailing-zero count of each NONZERO u64 (vectorized)."""
+    from ..hashing import popcount64
+    with np.errstate(over="ignore"):
+        low = x & (~x + U64(1))          # lowest set bit
+        return popcount64(low - U64(1))
+
+
+def _eliminate_tail(pos, lo, hi, rr, c_lo, c_hi, res):
+    """Sequential finish for the last few active keys: the round-parallel
+    loop's fixed per-round numpy overhead dominates once the active set is
+    tiny (measured ~1000 rounds of <1k keys at 1M inputs), so the tail
+    runs the reference-style one-key cascade on Python ints instead."""
+    two64 = hi is not None
+    n = len(pos)
+    lo_l, rr_l, pos_l = lo.tolist(), rr.tolist(), pos.tolist()
+    hi_l = hi.tolist() if two64 else None
+    for i in range(n):
+        p = pos_l[i]
+        cr = lo_l[i] | (hi_l[i] << 64) if two64 else lo_l[i]
+        r = rr_l[i]
+        while True:
+            exist = int(c_lo[p]) | (int(c_hi[p]) << 64) if two64 \
+                else int(c_lo[p])
+            if exist == 0:
+                c_lo[p] = cr & 0xFFFFFFFFFFFFFFFF
+                if two64:
+                    c_hi[p] = cr >> 64
+                res[p] = r
+                break
+            cr ^= exist
+            r ^= int(res[p])
+            if cr == 0:
+                if r == 0:
+                    break          # duplicate key, consistent
+                return False       # inconsistent
+            tz = (cr & -cr).bit_length() - 1
+            p += tz
+            cr >>= tz
+    return True
+
+
+_TAIL_SWITCH = 4096
+
+
+def _eliminate_np(pos, lo, hi, rr, size: int, coeff_bits: int):
+    """Round-parallel banded GF(2) elimination (same reduction as the
+    reference's one-key-at-a-time cascade, src/ribbon.zig:78-106, but each
+    round advances EVERY still-active key one step, fully vectorized).
+
+    Per round: claim one pivot candidate per EMPTY position with a scatter
+    (first active key in array order wins -- O(active), no sort); every
+    other key XORs with its position's (possibly just-written) row, drops
+    if it reduced to zero (duplicate), fails the try if inconsistent, else
+    shifts past its new trailing zeros.  Terminates because every
+    surviving key strictly advances (cr is odd before the XOR with an odd
+    stored row, so tz>=1).  Once the active set is small the sequential
+    tail finishes the job (_eliminate_tail).
+
+    Returns (coeff_lo, coeff_hi | None, result) or None on inconsistency.
+    """
+    c_lo = np.zeros(size, dtype=U64)
+    c_hi = np.zeros(size, dtype=U64) if hi is not None else None
+    res = np.zeros(size, dtype=U64)
+    pos = pos.astype(np.int64)
+    rr = rr.astype(U64)
+    claim = np.full(size, -1, dtype=np.int64)
+    while len(pos):
+        if len(pos) <= _TAIL_SWITCH:
+            ok = _eliminate_tail(pos, lo, hi, rr, c_lo, c_hi, res)
+            return (c_lo, c_hi, res) if ok else None
+        idx = np.arange(len(pos))
+        claim[pos[::-1]] = idx[::-1]          # lowest array index wins
+        win = (claim[pos] == idx) & (c_lo[pos] == 0)
+        claim[pos] = -1                       # reset touched entries only
+        wpos = pos[win]
+        c_lo[wpos] = lo[win]
+        res[wpos] = rr[win]
+        if hi is not None:
+            c_hi[wpos] = hi[win]
+        rest = ~win
+        pos, lo, rr = pos[rest], lo[rest], rr[rest]
+        if hi is not None:
+            hi = hi[rest]
+        if not len(pos):
+            break
+        lo = lo ^ c_lo[pos]
+        rr = rr ^ res[pos]
+        if hi is not None:
+            hi = hi ^ c_hi[pos]
+        zero = (lo == 0) if hi is None else ((lo == 0) & (hi == 0))
+        if bool(np.any(zero & (rr != 0))):
+            return None                   # inconsistent -> retry next seed
+        keep = ~zero                      # zero & rr==0: duplicate, drop
+        pos, lo, rr = pos[keep], lo[keep], rr[keep]
+        if hi is not None:
+            hi = hi[keep]
+        if not len(pos):
+            break
+        if hi is None:
+            tz = _tz64(lo)
+            lo = lo >> tz.astype(U64)
+        else:
+            lo_z = lo == 0
+            tz = np.where(lo_z,
+                          64 + _tz64(np.where(hi == 0, U64(1), hi)),
+                          _tz64(np.where(lo_z, U64(1), lo)))
+            big = tz >= 64
+            sh = np.where(big, 0, tz).astype(U64)      # 1..63 (or 0 if big)
+            inv = (U64(64) - sh) % U64(64)
+            bsh = np.where(big, tz - 64, 0).astype(U64)
+            new_lo = np.where(big, hi >> bsh, (lo >> sh) | (hi << inv))
+            new_hi = np.where(big, U64(0), hi >> sh)
+            lo, hi = new_lo, new_hi
+        pos = pos + tz
+    return c_lo, c_hi, res
+
+
+def _backsub_packed(c_lo, c_hi, res, size: int, coeff_bits: int,
+                    result_bits: int) -> np.ndarray:
+    """Back-substitution with ALL result-bit shift registers packed into
+    one wide Python int (one lane of 2*coeff_bits per result bit).
+
+    Derived from the reference's per-bit-column shift registers
+    (src/ribbon.zig:108-131): lane b holds state_b (sol bit b of the next
+    coeff_bits-1 rows); the per-row parity of (coeff[i]>>1) & state_b for
+    ALL b happens in one AND + log2(W) XOR-folds.  Lanes are 2W wide so
+    cross-lane leakage from the folds lands >= W above the lane base and
+    can never fold down to the parity bit (fold shifts sum to < W)."""
+    lane = 2 * coeff_bits
+    nb = result_bits
+    repl = sum(1 << (lane * b) for b in range(nb))
+    data_mask = (1 << (coeff_bits - 1)) - 1
+    mask_rep = data_mask * repl
+    folds = [w for w in (64, 32, 16, 8, 4, 2, 1) if w < coeff_bits]
+    # spread tables, one per result byte: value -> bits fanned to lane bases
+    spread = [[sum(((v >> j) & 1) << (lane * (8 * k + j)) for j in range(8))
+               for v in range(256)] for k in range(nb // 8 or 1)]
+    if c_hi is None:
+        coeff = c_lo.tolist()
+    else:
+        coeff = [(int(a) << 64) | int(b)
+                 for a, b in zip(c_hi.tolist(), c_lo.tolist())]
+    result = res.tolist()
+    state = 0
+    bytes_per_row = lane * nb // 8
+    buf = bytearray(size * bytes_per_row)
+    mv = memoryview(buf)
+    off = 0
+    s0 = spread[0]
+    s1 = spread[1] if nb > 8 else None
+    for i in range(size - 1, -1, -1):
+        a = (coeff[i] >> 1) * repl & state
+        for w in folds:
+            a ^= a >> w
+        bits = a & repl
+        rr = result[i]
+        if rr:
+            bits ^= s0[rr & 255] if s1 is None else \
+                s0[rr & 255] | s1[(rr >> 8) & 255]
+            if rr >> 16:                     # result_bits == 32
+                bits ^= spread[2][(rr >> 16) & 255] | \
+                    spread[3][(rr >> 24) & 255]
+        mv[off:off + bytes_per_row] = bits.to_bytes(bytes_per_row, "little")
+        off += bytes_per_row
+        state = ((state << 1) & mask_rep) | bits
+    flags = np.frombuffer(buf, dtype=np.uint8).reshape(size, bytes_per_row)
+    flags = flags[:, ::lane // 8][:, :nb] & 1        # (size, nb), rows i desc
+    sol = (flags.astype(np.uint32)
+           << np.arange(nb, dtype=np.uint32)).sum(axis=1)
+    return sol[::-1].astype(_RES_DTYPES[result_bits])
+
+
+def _start_multiplier(n: int, coeff_bits: int) -> int:
+    """Deterministic sweep entry point (documented deviation from the
+    reference's fixed 103% start, src/ribbon.zig:52): for a 64-bit band
+    the failure probability at minimal space grows with n, and measured
+    first-success multipliers over the _INIT_SEED chain are 103 below
+    ~25k keys, then 105/106/107 at 50k/100k/200k+ keys.  Entering the
+    sweep at the measured level skips attempts that are (near-)certain to
+    fail -- each costs a full elimination pass -- while the space the
+    sweep ultimately picks is the same.  u128 bands succeed at 103
+    through 1M keys and u32 is only used at small n, so both keep the
+    reference entry point.  Purely a function of (n, coeff_bits):
+    deterministic across workers and retries."""
+    if coeff_bits != 64 or n < 25000:
+        return _MIN_MULT
+    return _MIN_MULT + min(4, int(np.log2(n / 25000.0)) + 1)
+
+
 def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
     """Banded elimination build. Returns (seed, solution ndarray).
 
-    Python-int inner loop (sequential cascade, see module docstring);
-    everything derivable per-key is precomputed vectorized.
-    """
+    Fully vectorized: round-parallel elimination (_eliminate_np) +
+    lane-packed back-substitution (_backsub_packed).  Any elimination
+    order yields a valid filter: the stored pivot rows are linear
+    combinations of the input rows, dropped rows reduced to zero
+    consistently, so the back-substituted solution satisfies every input
+    equation regardless of which key won each pivot."""
     hashes = np.asarray(hashes, dtype=U64)
     n = len(hashes)
     next_seed = splitmix64(_INIT_SEED)
+    start_mult = _start_multiplier(n, coeff_bits)
 
     for multiplier in range(_MIN_MULT, _MAX_MULT + 1):
+        if multiplier < start_mult:
+            # skip multipliers that are (near-)certain to fail at this n,
+            # but CONSUME their seeds so every multiplier pairs with the
+            # same seed as in the unskipped sweep -- the skip then cannot
+            # change which (multiplier, seed) ultimately succeeds
+            for _ in range(_NUM_TRIES):
+                next_seed()
+            continue
         size = _calc_size(n, multiplier, coeff_bits)
         start_range = size + 1 - coeff_bits
         for _ in range(_NUM_TRIES):
             seed = next_seed()
             mixed = _remix(hashes, seed)
             pos_arr = _start_pos_np(seed, start_range, mixed, coeff_bits)
-            # insert in start-position order: solvability of the GF(2)
-            # system is order-independent, but sorted insertion halves the
-            # elimination cascade length at the ~0.97 load factor
-            # (measured 1.36M -> 0.61M cascade steps at 50k keys)
-            order = np.argsort(pos_arr, kind="stable")
-            pos_arr = pos_arr[order]
-            sorted_hashes = mixed[order]
-            lo, hi = _coeff_rows_np(seed, sorted_hashes, coeff_bits)
-            if hi is None:
-                cr_list = lo.tolist()
-            else:
-                cr_list = [(int(a) << 64) | int(b)
-                           for a, b in zip(hi.tolist(), lo.tolist())]
-            rr_list = _result_rows_np(seed, sorted_hashes,
-                                      result_bits).tolist()
-            pos_list = pos_arr.tolist()
-
-            coeff = [0] * size
-            result = [0] * size
-            ok = True
-            for idx in range(n):
-                pos = pos_list[idx]
-                cr = cr_list[idx]
-                rr = rr_list[idx]
-                while True:
-                    existing = coeff[pos]
-                    if existing == 0:
-                        coeff[pos] = cr
-                        result[pos] = rr
-                        break
-                    cr ^= existing
-                    rr ^= result[pos]
-                    if cr == 0:
-                        if rr == 0:
-                            break  # duplicate key -> consistent, accept
-                        ok = False
-                        break      # inconsistent -> retry w/ next seed
-                    tz = (cr & -cr).bit_length() - 1
-                    pos += tz
-                    cr >>= tz
-                if not ok:
-                    break
-            if not ok:
+            lo, hi = _coeff_rows_np(seed, mixed, coeff_bits)
+            rr = _result_rows_np(seed, mixed, result_bits)
+            elim = _eliminate_np(pos_arr, lo, hi, rr, size, coeff_bits)
+            if elim is None:
                 continue
-
-            # Back-substitution, per-result-bit shift registers (the
-            # reference's form, src/ribbon.zig:108-131): state_c packs
-            # sol-bit-c of the next coeff_bits rows (bit j = sol[i+1+j]),
-            # so sol[i] bit c = parity((coeff[i]>>1) & state_c) ^ rr bit c.
-            # result_bits cheap int ops per row beats iterating the ~W/2
-            # set coefficient bits per row.
-            cb_mask = (1 << coeff_bits) - 1
-            states = [0] * result_bits
-            sol = [0] * size
-            for i in range(size - 1, -1, -1):
-                c = coeff[i] >> 1
-                rr = result[i]
-                acc = 0
-                for b in range(result_bits):
-                    st = states[b]
-                    bit = ((c & st).bit_count() & 1) ^ ((rr >> b) & 1)
-                    states[b] = ((st << 1) | bit) & cb_mask
-                    acc |= bit << b
-                sol[i] = acc
-            solution = np.array(sol, dtype=_RES_DTYPES[result_bits])
+            c_lo, c_hi, res = elim
+            solution = _backsub_packed(c_lo, c_hi, res, size, coeff_bits,
+                                       result_bits)
             return seed, solution
 
     raise RuntimeError(

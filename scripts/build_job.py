@@ -65,7 +65,7 @@ def main() -> int:
     ds = ds.materialize()
 
     n = ds.count()
-    P = args.num_partitions or choose_num_partitions(n)
+    P = args.num_partitions or choose_num_partitions(n, kind=args.kind)
     t0 = time.perf_counter()
     ft = build_filter_table(ds, args.key_col, args.kind,
                             json.loads(args.params), num_partitions=P,
