@@ -88,6 +88,41 @@ class SbbfFilter(Sketch):
         flat_pos = (idx[:, None] * 8 + np.arange(8)).ravel()
         np.bitwise_or.at(self.words, flat_pos, mask.ravel())
 
+    def insert_check(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert each key and return whether it was ALREADY (possibly)
+        present before its own insertion -- the reference's incremental
+        `filter_insert_check` (src/sbbf.zig:39-52), vectorized.
+
+        Exact sequential semantics: a key duplicated WITHIN the batch must
+        see the earlier occurrence, so prior membership is computed
+        against the pre-batch words and then corrected for intra-batch
+        duplicates (same block+mask pair seen earlier in the batch)."""
+        hashes = np.asarray(hashes, dtype=U64)
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = _block_index(self.num_blocks, hashes).astype(np.int64)
+        mask = _make_mask(hashes)
+        flat = idx[:, None] * 8 + np.arange(8)
+        blocks = self.words[flat]
+        prior = ((blocks & mask) == mask).all(axis=1)
+        # intra-batch: an identical (block, mask) earlier in the batch
+        # makes later occurrences hits even if absent pre-batch
+        order = np.argsort(idx, kind="stable")
+        srt_idx = idx[order]
+        srt_mask = mask[order]
+        dup = np.zeros(len(hashes), dtype=bool)
+        # accumulate ORed masks per block run to catch covers, not just
+        # exact repeats (matches the word-level check semantics); only
+        # positions whose block repeats cost anything
+        acc = srt_mask
+        for i in np.flatnonzero(srt_idx[1:] == srt_idx[:-1]) + 1:
+            covered = ((acc[i - 1] & srt_mask[i]) == srt_mask[i]).all()
+            acc[i] = acc[i - 1] | srt_mask[i]
+            if covered:
+                dup[order[i]] = True
+        np.bitwise_or.at(self.words, flat.ravel(), mask.ravel())
+        return prior | dup
+
     def merge(self, other: "SbbfFilter") -> "SbbfFilter":
         if other.num_blocks != self.num_blocks:
             raise ValueError("SBBF merge requires identical num_blocks")

@@ -169,3 +169,28 @@ def test_ribbon_stale_payload_rejected():
                       f.solution.tobytes()])
     with _pt.raises(ValueError, match="derivation"):
         sketch_from_bytes(stale)
+
+
+def test_sbbf_insert_check_sequential_semantics():
+    """insert_check must equal the reference's one-key-at-a-time
+    insert+check loop (src/sbbf.zig:39-52), including duplicates WITHIN
+    a batch seeing their earlier occurrence."""
+    import numpy as np
+    from raysketch.sketches.sbbf import SbbfFilter
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    keys = np.concatenate([keys, keys[:100], keys[:50]])  # in-batch dups
+    rng.shuffle(keys)
+
+    vec = SbbfFilter.create(8, 10)
+    got = vec.insert_check(keys)
+
+    seq = SbbfFilter.create(8, 10)
+    exp = np.zeros(len(keys), dtype=bool)
+    for i, k in enumerate(keys):
+        exp[i] = bool(seq.check(np.array([k], np.uint64))[0])
+        seq.insert(np.array([k], np.uint64))
+    assert (got == exp).all()
+    assert (vec.words == seq.words).all()
+    # second call: everything is now present
+    assert vec.insert_check(keys).all()
