@@ -66,6 +66,18 @@ def _member_query(kind: str, params: dict):
     return run
 
 
+def _q_member_colocated(sf_dir: str):
+    """Membership through the partition-colocated probe path (the
+    large-filter-table shape: per-partition object-store payloads, probe
+    rows shuffled by partition id) -- must hash-match the same member
+    oracle as the broadcast path."""
+    pages = pages_dataset(sf_dir).materialize()
+    urls = distinct_keys(pages, "url").materialize()
+    ft = build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
+                            num_partitions=8).materialize()
+    return probe(ft, urls, "url", max_broadcast_bytes=0)
+
+
 def _q_dedup_urls(sf_dir: str):
     return distinct_keys(pages_dataset(sf_dir), "url")
 
@@ -258,6 +270,19 @@ def _q_minhash_pairs(sf_dir: str):
     from raysketch.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
                              num_perm=128, bands=32, threshold=0.5)
+
+
+def _q_neardup_dedup(sf_dir: str):
+    """Full near-dup DEDUP (keep min id per connected component of the
+    verified minhash pair graph; distributed label propagation).  On the
+    planted corpus every doc_id+100000 near-dup loses to its source, so
+    the output is (close to) the original documents (rows-only: LSH
+    recall is probabilistic; component semantics pytest-verified)."""
+    from raysketch.dedup import neardup_dedup
+    out = neardup_dedup(_neardup_corpus(sf_dir), "text", "doc_id",
+                        num_perm=128, bands=32, threshold=0.5)
+    return out.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow")
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -663,11 +688,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_fpr_report": _q_fpr_report,
         # training-data operators
         "member_sbbf10_mergepath": _q_member_sbbf_merge,
+        "member_sbbf10_colocated": _q_member_colocated,
         "token_stats_docs": _q_token_stats,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ann_topk_bruteforce": _q_ann_topk,
         # rows-only training-data ops (non-SQL-expressible; pytest-verified)
         "minhash_neardup_pairs": _q_minhash_pairs,
+        "neardup_dedup_docs": _q_neardup_dedup,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "langid_docs": _q_langid,
         "quality_scores_docs": _q_quality,
@@ -738,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "member_ribbon64_16": member,
         "member_ribbon128_16": member,
         "member_sbbf10_mergepath": member,
+        "member_sbbf10_colocated": member,
         "token_stats_docs": """
             SELECT doc_id,
                    length(text) AS n_chars,

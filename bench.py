@@ -66,10 +66,19 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     probe(_warm_ft, absent, "url", concurrency=num_cpus // 2).sum("hit")
     probe(_warm_ft, absent, "url", concurrency=4).sum("hit")
 
+    # min-of-N per query (default 2, RAYSKETCH_BENCH_REPEATS to change):
+    # this VM shows 2-3x co-tenant CPU-steal windows (BASELINE.md), and the
+    # min estimator is the same methodology the scaling bench already uses
+    repeats = int(os.environ.get("RAYSKETCH_BENCH_REPEATS", "2"))
+
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, out = None, None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         return out
 
     for cfg, kind, params in [

@@ -186,6 +186,9 @@ def _attach(pairs, attrs, num_partitions: int):
     cluster-scale replacement for the former driver-side dict lookup."""
     j = _join(pairs, attrs, "inner", num_partitions, ("doc_a",),
               ("doc_id",))
+    # a join's own empty partitions come out as zero-column blocks, which
+    # break the NEXT join's partition builder -- compact between joins
+    j = _compact(j, num_partitions)
     return _join(j, attrs, "inner", num_partitions, ("doc_b",),
                  ("doc_id",), left_suffix="_a", right_suffix="_b")
 
@@ -337,23 +340,17 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
     return _distinct_pairs(cand)
 
 
-def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
-                      bands: int = 32, shingle_k: int = 5,
-                      threshold: float = 0.5, concurrency: int = 4,
-                      num_partitions: int = 8,
-                      hot_cap: int = HOT_BUCKET_CAP):
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
-
-    Candidates come from banded LSH; verification hash-joins the full
-    signatures onto the pair rows (two partitioned inner joins) and
-    compares them vectorized per batch -- no signature dict, no candidate
-    materialization on the driver.  est_jaccard = fraction of equal
-    minhashes, which estimates shingle Jaccard within ~1/sqrt(num_perm)."""
+def _minhash_verified_pairs_ds(ds, text_col: str, id_col: str,
+                               num_perm: int, bands: int, shingle_k: int,
+                               threshold: float, concurrency: int,
+                               num_partitions: int, hot_cap: int):
+    """Verified near-dup pair Dataset (doc_a, doc_b, est_jaccard), fully
+    distributed, or None when there are no candidates."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
                               concurrency).materialize()
     cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
     if cand.count() == 0:
-        return _collect_pairs(cand, {"est_jaccard": "float64"})
+        return None
     joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -369,8 +366,98 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
             "est_jaccard": pa.array(est),
         }).filter(pa.array(keep))
 
-    out = joined.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
+                      bands: int = 32, shingle_k: int = 5,
+                      threshold: float = 0.5, concurrency: int = 4,
+                      num_partitions: int = 8,
+                      hot_cap: int = HOT_BUCKET_CAP):
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    Candidates come from banded LSH; verification hash-joins the full
+    signatures onto the pair rows (two partitioned inner joins) and
+    compares them vectorized per batch -- no signature dict, no candidate
+    materialization on the driver.  est_jaccard = fraction of equal
+    minhashes, which estimates shingle Jaccard within ~1/sqrt(num_perm)."""
+    out = _minhash_verified_pairs_ds(ds, text_col, id_col, num_perm, bands,
+                                     shingle_k, threshold, concurrency,
+                                     num_partitions, hot_cap)
+    if out is None:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
     return _collect_pairs(out, {"est_jaccard": "float64"})
+
+
+def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
+                  bands: int = 32, shingle_k: int = 5,
+                  threshold: float = 0.5, concurrency: int = 4,
+                  num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP,
+                  max_iters: int = 8):
+    """NEAR-duplicate dedup: keep one representative (the min id) per
+    connected component of the verified near-dup pair graph.
+
+    Cluster shape: components are found by distributed min-label
+    propagation over the pair Dataset -- per iteration, each node's label
+    becomes the min of its own and its neighbors' labels (two partitioned
+    joins + a groupby-min; only (node:i64, label:i64) rows move) -- which
+    converges in O(component diameter) iterations (near-dup clusters are
+    clique-ish, so a handful).  Convergence is detected by the monotone
+    label sum; max_iters bounds pathological chains.  Survivors are
+    selected with a left-anti join of the loser ids -- no driver-side
+    cluster state at any point."""
+    from ray.data.aggregate import Min, Sum
+
+    edges = _minhash_verified_pairs_ds(
+        ds, text_col, id_col, num_perm, bands, shingle_k, threshold,
+        concurrency, num_partitions, hot_cap)
+    if edges is None:
+        return ds
+    edges = _compact(edges.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"),
+        num_partitions).materialize()
+
+    labels = _compact(
+        edges.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
+            batch_format="pyarrow")
+        .groupby("node").count().select_columns(["node"])
+        .map_batches(lambda t: t.append_column("label", t["node"]),
+                     batch_format="pyarrow"),
+        num_partitions).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs_b = _join(edges, labels, "inner", num_partitions,
+                       ("doc_a",), ("node",)).map_batches(
+            lambda t: pa.table({"node": t["doc_b"], "label": t["label"]}),
+            batch_format="pyarrow")
+        msgs_a = _join(edges, labels, "inner", num_partitions,
+                       ("doc_b",), ("node",)).map_batches(
+            lambda t: pa.table({"node": t["doc_a"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels = _compact(
+            labels.union(msgs_a).union(msgs_b)
+                  .groupby("node").aggregate(Min("label", alias_name="m"))
+                  .map_batches(lambda t: pa.table(
+                      {"node": t["node"], "label": t["m"]}),
+                      batch_format="pyarrow"),
+            num_partitions).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:      # labels are monotone non-increasing
+            break
+        prev_sum = cur
+
+    def _losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(t["node"], t["label"])).select(["node"])
+
+    losers = labels.map_batches(_losers, batch_format="pyarrow")
+    return _join(ds, _compact(losers, num_partitions), "left_anti",
+                 num_partitions, (id_col,), ("node",))
 
 
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
@@ -400,6 +487,8 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
         .groupby("doc_id").count().select_columns(["doc_id"]))
     docs_sub = _join(ds, _compact(need, num_partitions), "left_semi",
                      num_partitions, (id_col,), ("doc_id",))
+
+    docs_sub = _compact(docs_sub, num_partitions)
 
     def shingle_blobs(batch: pa.Table) -> pa.Table:
         texts = [t.encode() if isinstance(t, str) else bytes(t)

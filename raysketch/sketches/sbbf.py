@@ -85,8 +85,16 @@ class SbbfFilter(Sketch):
             return
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
-        flat_pos = (idx[:, None] * 8 + np.arange(8)).ravel()
-        np.bitwise_or.at(self.words, flat_pos, mask.ravel())
+        # sort by block, OR-combine each block's masks with one reduceat,
+        # then a single duplicate-free scatter per touched block --
+        # np.bitwise_or.at's unbuffered per-element scatter is ~8x slower
+        order = np.argsort(idx, kind="stable")
+        si = idx[order]
+        sm = mask[order]
+        starts = np.flatnonzero(np.concatenate([[True], si[1:] != si[:-1]]))
+        ored = np.bitwise_or.reduceat(sm, starts, axis=0)     # (u, 8)
+        blocks = self.words.reshape(-1, 8)
+        blocks[si[starts]] |= ored
 
     def insert_check(self, hashes: np.ndarray) -> np.ndarray:
         """Insert each key and return whether it was ALREADY (possibly)

@@ -152,3 +152,38 @@ def test_embedding_neardup(ray_session):
     assert hits >= 4  # LSH with one table: allow one recall miss
     # no false pairs among independent gaussians
     assert all(a >= 100 or b >= 100 for a, b in found)
+
+
+def test_neardup_dedup_transitive_clusters(ray_session):
+    """neardup_dedup must collapse CONNECTED COMPONENTS: a chain
+    T0~T1~T2 where only adjacent pairs are near-dups still keeps exactly
+    one representative (the min id), and isolated docs all survive."""
+    import ray.data as rd
+    from raysketch.dedup import neardup_dedup
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(800)]
+    rows = []
+    # 30 isolated random docs
+    for i in range(30):
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, 80).tolist())})
+    # 5 chains of 3: T0 -> change first 8 words -> change last 8 words
+    for c in range(5):
+        words = rng.choice(vocab, 80).tolist()
+        t0 = list(words)
+        t1 = list(t0)
+        t1[:8] = [f"x{c}_{j}" for j in range(8)]
+        t2 = list(t1)
+        t2[-8:] = [f"y{c}_{j}" for j in range(8)]
+        rows.append({"doc_id": 100 + c * 10, "text": " ".join(t0)})
+        rows.append({"doc_id": 101 + c * 10, "text": " ".join(t1)})
+        rows.append({"doc_id": 102 + c * 10, "text": " ".join(t2)})
+    out = neardup_dedup(rd.from_items(rows), "text", "doc_id",
+                        threshold=0.5).to_pandas()
+    kept = set(out["doc_id"])
+    # every isolated doc survives
+    assert set(range(30)) <= kept
+    # each chain keeps exactly its min id
+    for c in range(5):
+        chain = {100 + c * 10, 101 + c * 10, 102 + c * 10}
+        assert kept & chain == {100 + c * 10}, (c, kept & chain)
