@@ -209,15 +209,27 @@ def _collect_pairs(out_ds, extra: dict[str, str]) -> pd.DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _char_shingle_hashes(texts: list[bytes], k: int):
-    """Concatenated deduped k-byte-shingle hashes per doc + start offsets.
+def _shingle_hashes_from_column(col, k: int):
+    """Shingle hashes straight from an Arrow string/binary column: the
+    column's (offsets, data) buffers ARE the concatenated byte layout the
+    kernel wants, so no per-row .as_py()/encode loop and no b"".join.
+    Documents shorter than k are zero-padded to one shingle (rare; handled
+    by rebuilding just those rows)."""
+    from .hashing import _string_buffers
+    offsets, data = _string_buffers(col)
+    lens = offsets[1:] - offsets[:-1]
+    if (lens >= k).all():
+        return _char_shingle_hashes_buf(
+            np.asarray(data), offsets[:-1].astype(np.int64),
+            lens.astype(np.int64), k)
+    # slow path only for the short rows: pad them, rebuild the buffer
+    texts = [bytes(data[offsets[i]:offsets[i + 1]]) for i in
+             range(len(lens))]
+    return _char_shingle_hashes(texts, k)
 
-    Fully vectorized across the whole batch: one concatenated byte buffer,
-    one sliding-window FNV pass, windows crossing document boundaries
-    masked out, per-doc dedup via a single lexsort + adjacent-unique scan
-    (same output as per-doc np.unique: hashes sorted ascending per doc).
-    Documents shorter than k get the zero-padded single shingle, matching
-    the previous per-doc path."""
+
+def _char_shingle_hashes(texts: list[bytes], k: int):
+    """List-of-bytes entry point (tests + short-doc fallback)."""
     n_docs = len(texts)
     if n_docs == 0:
         return np.zeros(0, dtype=U64), np.zeros(1, dtype=np.int64)
@@ -225,6 +237,21 @@ def _char_shingle_hashes(texts: list[bytes], k: int):
     lens = np.array([len(t) for t in padded], dtype=np.int64)
     buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
     doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return _char_shingle_hashes_buf(buf, doc_start, lens, k)
+
+
+def _char_shingle_hashes_buf(buf: np.ndarray, doc_start: np.ndarray,
+                             lens: np.ndarray, k: int):
+    """Concatenated deduped k-byte-shingle hashes per doc + start offsets.
+
+    Fully vectorized across the whole batch: one byte buffer, one
+    sliding-window FNV pass, windows crossing document boundaries masked
+    out, per-doc dedup via a single lexsort + adjacent-unique scan (same
+    output as per-doc np.unique: hashes sorted ascending per doc).  All
+    lens must be >= k (callers pad shorter docs)."""
+    n_docs = len(lens)
+    if n_docs == 0:
+        return np.zeros(0, dtype=U64), np.zeros(1, dtype=np.int64)
     if len(buf) < k:
         buf = np.concatenate([buf, np.zeros(k - len(buf), np.uint8)])
     windows = np.lib.stride_tricks.sliding_window_view(buf, k)
@@ -265,31 +292,55 @@ class MinHasher:
         self.id_col = id_col
 
     def signatures(self, texts: list[bytes]) -> np.ndarray:
+        # one contiguous 1D reduceat pass per permutation: reduceat over
+        # axis 0 of a 2D block is ~17x slower (strided segments), measured
         sh, starts = _char_shingle_hashes(texts, self.k)
-        n_docs = len(texts)
+        return self._sigs_from_shingles(sh, starts, len(texts))
+
+    def signatures_from_column(self, col) -> np.ndarray:
+        sh, starts = _shingle_hashes_from_column(col, self.k)
+        return self._sigs_from_shingles(sh, starts, len(col))
+
+    def _sigs_from_shingles(self, sh, starts, n_docs) -> np.ndarray:
         sig = np.empty((n_docs, self.num_perm), dtype=U64)
         if len(sh) == 0:
             sig[:] = U64(0)
             return sig
         seg_starts = starts[:-1]
-        # one contiguous 1D pass per permutation: reduceat over axis 0 of a
-        # 2D block is ~17x slower (strided segment access), measured
         with np.errstate(over="ignore"):
             for p in range(self.num_perm):
-                v = sh * self.a[p] + self.b[p]  # u64 wrap: universal-ish mix
+                v = sh * self.a[p] + self.b[p]
                 sig[:, p] = np.minimum.reduceat(v, seg_starts)
         empty = (starts[1:] - starts[:-1]) == 0
         sig[empty] = U64(0)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t.as_py().encode() if isinstance(t.as_py(), str)
-                 else bytes(t.as_py()) for t in batch[self.text_col]]
-        sig = self.signatures(texts)
+        sig = self.signatures_from_column(batch[self.text_col])
+        # one contiguous buffer -> fixed-size-binary column (no per-row
+        # tobytes loop); fixed_size_binary round-trips to bytes on read
+        width = self.num_perm * 8
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(width), len(sig),
+            [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
         return pa.table({
             "doc_id": batch[self.id_col],
-            "sig": pa.array([s.tobytes() for s in sig], pa.large_binary()),
+            "sig": sig_arr,
         })
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) u64 view of a signature column -- zero-copy for the
+    fixed_size_binary layout MinHasher emits."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_binary(col.type):
+        buf = col.buffers()[1]
+        arr = np.frombuffer(buf, dtype=U64,
+                            count=(col.offset + len(col)) * num_perm)
+        return arr[col.offset * num_perm:].reshape(len(col), num_perm)
+    return np.frombuffer(b"".join(col.to_pylist()),
+                         dtype=U64).reshape(len(col), num_perm)
 
 
 def minhash_signatures(ds, text_col: str, id_col: str, num_perm: int = 128,
@@ -312,8 +363,7 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
 
     def banded(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        sig = np.frombuffer(b"".join(s.as_py() for s in batch["sig"]),
-                            dtype=U64).reshape(n, num_perm)
+        sig = _sig_matrix(batch["sig"], num_perm)
         ids = np.asarray(batch["doc_id"]).repeat(bands)
         bh = np.empty((n, bands), dtype=U64)
         for b in range(bands):
@@ -354,11 +404,8 @@ def _minhash_verified_pairs_ds(ds, text_col: str, id_col: str,
     joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
-                           dtype=U64).reshape(n, num_perm)
-        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
-                           dtype=U64).reshape(n, num_perm)
+        sa = _sig_matrix(batch["sig_a"], num_perm)
+        sb = _sig_matrix(batch["sig_b"], num_perm)
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pa.table({
@@ -491,13 +538,14 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
     docs_sub = _compact(docs_sub, num_partitions)
 
     def shingle_blobs(batch: pa.Table) -> pa.Table:
-        texts = [t.encode() if isinstance(t, str) else bytes(t)
-                 for t in batch[text_col].to_pylist()]
-        sh, starts = _char_shingle_hashes(texts, shingle_k)
-        blobs = [sh[starts[i]:starts[i + 1]].tobytes()
-                 for i in range(len(texts))]
-        return pa.table({"doc_id": batch[id_col],
-                         "sh": pa.array(blobs, pa.large_binary())})
+        sh, starts = _shingle_hashes_from_column(batch[text_col], shingle_k)
+        # build the large_binary column straight from the concatenated
+        # hash buffer + byte offsets (no per-row slicing loop)
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(), len(batch),
+            [None, pa.py_buffer((starts * 8).astype(np.int64).tobytes()),
+             pa.py_buffer(sh.tobytes())])
+        return pa.table({"doc_id": batch[id_col], "sh": blobs})
 
     blobs = docs_sub.map_batches(shingle_blobs, batch_format="pyarrow")
     joined = _attach(cand, blobs, num_partitions)
