@@ -455,7 +455,11 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
     label sum; max_iters bounds pathological chains.  Survivors are
     selected with a left-anti join of the loser ids -- no driver-side
     cluster state at any point."""
-    from ray.data.aggregate import Min, Sum
+    # convergence probe: per-node labels are monotone non-increasing under
+    # min-propagation, so an unchanged label SUM means a fixed point.
+    # (At >=10^9 nodes with sparse 64-bit ids the sum could overflow i64;
+    # renumber node ids densely first in that regime.)
+    from ray.data.aggregate import Min
 
     edges = _minhash_verified_pairs_ds(
         ds, text_col, id_col, num_perm, bands, shingle_k, threshold,
