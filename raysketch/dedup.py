@@ -501,6 +501,12 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
         if cur == prev_sum:      # labels are monotone non-increasing
             break
         prev_sum = cur
+    else:
+        print(f"[raysketch.dedup] neardup_dedup label propagation hit "
+              f"max_iters={max_iters} before converging: components wider "
+              "than that many hops keep one representative PER unconverged "
+              "sub-label (extra survivors, never lost rows); raise "
+              "max_iters for long-chain duplicate graphs")
 
     def _losers(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

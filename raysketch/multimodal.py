@@ -162,11 +162,14 @@ class ExtractAudioFeatures:
                     wav = wav.mean(axis=1)
                 durs.append(len(wav) / max(1, sr))
                 # windowed RMS bands as the feature stand-in (real MFCC
-                # would need a dsp lib): n_windows x n_mels grid
-                win = np.array_split(wav, self.n_windows)
-                rows = [np.sqrt(np.mean(np.square(
-                    np.array_split(w, self.n_mels)[m])) + 1e-12)
-                    for w in win for m in range(self.n_mels)]
+                # would need a dsp lib): n_windows x n_mels grid; empty
+                # segments (audio shorter than the grid) score 0, not NaN
+                rows = []
+                for w in np.array_split(wav, self.n_windows):
+                    segs = np.array_split(w, self.n_mels)
+                    rows.extend(
+                        float(np.sqrt(np.mean(np.square(s)) + 1e-12))
+                        if len(s) else 0.0 for s in segs)
                 feats.append(np.array(rows, np.float32))
             return pa.table({
                 "media_id": batch["media_id"],

@@ -279,23 +279,50 @@ class Prober:
         return batch.append_column(self.out_col, pa.array(hit))
 
 
+def _payload_refs(filter_table):
+    """{partition_id: ObjectRef(payload bytes)} + num_partitions, without
+    assembling the payloads on the driver: each filter-table BLOCK is
+    shipped to a Ray task that ray.put()s its payloads worker-side and
+    returns only the (tiny) id->ref dict."""
+    import ray
+
+    if hasattr(filter_table, "to_arrow_refs"):
+        @ray.remote(num_cpus=0.25)
+        def put_block(tbl: pa.Table):
+            if tbl.num_rows == 0:   # aggregator empty blocks are schemaless
+                return {}, None
+            refs = {int(pid): ray.put(bytes(p))
+                    for pid, p in zip(tbl["partition_id"].to_pylist(),
+                                      tbl["payload"].to_pylist())}
+            return refs, int(tbl["num_partitions"][0].as_py())
+        out, num_partitions = {}, None
+        parts = ray.get([put_block.remote(r)
+                         for r in filter_table.to_arrow_refs()])
+        for refs, npart in parts:
+            out.update(refs)
+            num_partitions = num_partitions or npart
+        return out, (num_partitions or 1)
+    # pandas path (already driver-resident, i.e. small)
+    pdf = filter_table
+    refs = {int(r["partition_id"]): ray.put(bytes(r["payload"]))
+            for _, r in pdf.iterrows()}
+    npart = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
+    return refs, npart
+
+
 def probe_colocated(filter_table, ds, key_col: str, out_col: str = "hit",
                     seed: int = 0):
     """Partition-colocated probe for filter tables too large to broadcast.
 
-    Each payload goes to the object store INDIVIDUALLY (ray.put per
-    partition); probe rows shuffle once by their partition id and each
-    group task fetches + decodes ONLY its own partition's filter (cached
-    per worker).  Per-task state is one filter instead of the whole table,
-    so a 10^6-partition / multi-TB filter table never assembles anywhere.
-    Output rows are identical to probe() but arrive groupby-ordered."""
-    import ray
-
-    pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
-        else filter_table
-    num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
-    refs = {int(r["partition_id"]): ray.put(bytes(r["payload"]))
-            for _, r in pdf.iterrows()}
+    Each payload goes to the object store INDIVIDUALLY (ray.put from a
+    worker task per filter-table block -- the driver only ever holds the
+    id->ObjectRef dict); probe rows shuffle once by their partition id and
+    each group task fetches + decodes ONLY its own partition's filter
+    (cached per worker).  Per-task state is one filter instead of the
+    whole table, so a 10^6-partition / multi-TB filter table never
+    assembles anywhere.  Output rows are identical to probe() but arrive
+    groupby-ordered."""
+    refs, num_partitions = _payload_refs(filter_table)
 
     def assign(batch: pa.Table) -> pa.Table:
         h = hash_column(batch[key_col], seed)
@@ -344,11 +371,23 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
     (None = let the streaming executor schedule freely)."""
     import ray
 
-    pdf = filter_table.to_pandas() if hasattr(filter_table, "to_pandas") \
-        else filter_table
-    total_bytes = int(sum(len(p) for p in pdf["payload"])) if len(pdf) else 0
-    if total_bytes > max_broadcast_bytes:
-        return probe_colocated(pdf, ds, key_col, out_col, seed)
+    if hasattr(filter_table, "map_batches"):
+        # size the dispatch WITHOUT pulling payloads to the driver
+        import pyarrow.compute as _pc
+        total_bytes = filter_table.map_batches(
+            lambda t: pa.table({"b": pa.array(
+                [int(_pc.sum(_pc.binary_length(t["payload"])).as_py() or 0)],
+                pa.int64())}),
+            batch_size=None, batch_format="pyarrow").sum("b") or 0
+        if total_bytes > max_broadcast_bytes:
+            return probe_colocated(filter_table, ds, key_col, out_col, seed)
+        pdf = filter_table.to_pandas()
+    else:
+        pdf = filter_table
+        total_bytes = int(sum(len(p) for p in pdf["payload"])) \
+            if len(pdf) else 0
+        if total_bytes > max_broadcast_bytes:
+            return probe_colocated(pdf, ds, key_col, out_col, seed)
     blobs = {int(r["partition_id"]): bytes(r["payload"])
              for _, r in pdf.iterrows()}
     num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1

@@ -110,25 +110,30 @@ class SbbfFilter(Sketch):
             return np.zeros(0, dtype=bool)
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
-        flat = idx[:, None] * 8 + np.arange(8)
-        blocks = self.words[flat]
-        prior = ((blocks & mask) == mask).all(axis=1)
-        # intra-batch: an identical (block, mask) earlier in the batch
-        # makes later occurrences hits even if absent pre-batch
+        words2d = self.words.reshape(-1, 8)
+        prior = ((words2d[idx] & mask) == mask).all(axis=1)
+        # intra-batch: a key is a hit when its mask is covered by the
+        # UNION of the pre-batch block word and all earlier in-batch masks
+        # of the same block (either source alone under-reports: a mask can
+        # be half-covered by each) -- seed the per-run accumulator with
+        # the pre-batch word so covers compose exactly like the
+        # sequential reference loop
         order = np.argsort(idx, kind="stable")
         srt_idx = idx[order]
         srt_mask = mask[order]
         dup = np.zeros(len(hashes), dtype=bool)
-        # accumulate ORed masks per block run to catch covers, not just
-        # exact repeats (matches the word-level check semantics); only
-        # positions whose block repeats cost anything
-        acc = srt_mask
-        for i in np.flatnonzero(srt_idx[1:] == srt_idx[:-1]) + 1:
+        acc = srt_mask | words2d[srt_idx]
+        rep = np.flatnonzero(srt_idx[1:] == srt_idx[:-1]) + 1
+        for i in rep:
             covered = ((acc[i - 1] & srt_mask[i]) == srt_mask[i]).all()
             acc[i] = acc[i - 1] | srt_mask[i]
             if covered:
                 dup[order[i]] = True
-        np.bitwise_or.at(self.words, flat.ravel(), mask.ravel())
+        # final insert: one duplicate-free scatter of each run's
+        # accumulated OR (same reduced-write shape as insert())
+        run_start = np.concatenate([[True], srt_idx[1:] != srt_idx[:-1]])
+        run_end = np.concatenate([run_start[1:], [True]])
+        words2d[srt_idx[run_end]] |= acc[run_end]
         return prior | dup
 
     def merge(self, other: "SbbfFilter") -> "SbbfFilter":

@@ -181,11 +181,16 @@ def test_sbbf_insert_check_sequential_semantics():
     keys = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
     keys = np.concatenate([keys, keys[:100], keys[:50]])  # in-batch dups
     rng.shuffle(keys)
+    # PRE-POPULATED filter (1 block): covers must compose across the
+    # pre-batch word AND earlier in-batch masks, not either alone
+    pre = rng.integers(0, 2**63, 120, dtype=np.int64).astype(np.uint64)
 
-    vec = SbbfFilter.create(8, 10)
+    vec = SbbfFilter.create(1, 10)
+    vec.insert(pre)
     got = vec.insert_check(keys)
 
-    seq = SbbfFilter.create(8, 10)
+    seq = SbbfFilter.create(1, 10)
+    seq.insert(pre)
     exp = np.zeros(len(keys), dtype=bool)
     for i, k in enumerate(keys):
         exp[i] = bool(seq.check(np.array([k], np.uint64))[0])
@@ -194,3 +199,14 @@ def test_sbbf_insert_check_sequential_semantics():
     assert (vec.words == seq.words).all()
     # second call: everything is now present
     assert vec.insert_check(keys).all()
+
+    # and from an EMPTY multi-block filter (pure in-batch duplicates)
+    vec8 = SbbfFilter.create(8, 10)
+    got8 = vec8.insert_check(keys)
+    seq8 = SbbfFilter.create(8, 10)
+    exp8 = np.zeros(len(keys), dtype=bool)
+    for i, k in enumerate(keys):
+        exp8[i] = bool(seq8.check(np.array([k], np.uint64))[0])
+        seq8.insert(np.array([k], np.uint64))
+    assert (got8 == exp8).all()
+    assert (vec8.words == seq8.words).all()
