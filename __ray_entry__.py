@@ -42,6 +42,60 @@ _FILTER_CONFIGS = {
 
 
 # ---------------------------------------------------------------------------
+# cross-query cache
+#
+# The driver calls every queries() entry in ONE Ray session, so shared
+# inputs (the derived pages corpus, its distinct urls, the six filter
+# tables, the planted near-dup corpus) are materialized once per sf_dir
+# and reused: without this each of the six member_* queries re-derived
+# pages + distinct urls + rebuilt its filter table from scratch, and the
+# round-2 driver run hit its wall-clock limit 3 queries short of the
+# registry.  Cached objects are MaterializedDatasets (object-store refs),
+# small at the driver's sf0.01/sf0.001 scales.
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[tuple, Any] = {}
+
+
+def _cached(key: tuple, build):
+    if key not in _CACHE:
+        _CACHE[key] = build()
+    return _CACHE[key]
+
+
+def _cached_pages(sf_dir: str):
+    return _cached(("pages", sf_dir),
+                   lambda: pages_dataset(sf_dir).materialize())
+
+
+def _cached_urls(sf_dir: str):
+    return _cached(("urls", sf_dir), lambda: distinct_keys(
+        _cached_pages(sf_dir), "url").materialize())
+
+
+def _cached_ft(sf_dir: str, kind: str, params: dict,
+               num_partitions: int = 8):
+    import json
+    key = ("ft", sf_dir, kind, json.dumps(params, sort_keys=True),
+           num_partitions)
+    return _cached(key, lambda: build_filter_table(
+        _cached_pages(sf_dir), "url", kind, params,
+        num_partitions=num_partitions).materialize())
+
+
+def _cached_docs(sf_dir: str, cols: tuple = ("doc_id", "text")):
+    import ray.data as rd
+    return _cached(("docs", sf_dir, cols), lambda: rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(cols)).materialize())
+
+
+def _cached_emb(sf_dir: str):
+    import ray.data as rd
+    return _cached(("emb", sf_dir), lambda: rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet").materialize())
+
+
+# ---------------------------------------------------------------------------
 # pipelines
 # ---------------------------------------------------------------------------
 
@@ -50,7 +104,7 @@ def _q_pages(sf_dir: str):
     binary column; the dump query decodes it to utf8 (it is utf8 by
     construction) so the driver's pandas canonicalizer can sort/hash it --
     binary columns arrive as unhashable bytearrays."""
-    return pages_dataset(sf_dir).map_batches(
+    return _cached_pages(sf_dir).map_batches(
         lambda t: t.set_column(t.schema.get_field_index("html"), "html",
                                pc.cast(t["html"], pa.string())),
         batch_format="pyarrow")
@@ -58,11 +112,8 @@ def _q_pages(sf_dir: str):
 
 def _member_query(kind: str, params: dict):
     def run(sf_dir: str):
-        pages = pages_dataset(sf_dir).materialize()
-        urls = distinct_keys(pages, "url").materialize()
-        ft = build_filter_table(pages, "url", kind, params,
-                                num_partitions=8).materialize()
-        return probe(ft, urls, "url")
+        ft = _cached_ft(sf_dir, kind, params)
+        return probe(ft, _cached_urls(sf_dir), "url")
     return run
 
 
@@ -71,31 +122,28 @@ def _q_member_colocated(sf_dir: str):
     large-filter-table shape: per-partition object-store payloads, probe
     rows shuffled by partition id) -- must hash-match the same member
     oracle as the broadcast path."""
-    pages = pages_dataset(sf_dir).materialize()
-    urls = distinct_keys(pages, "url").materialize()
-    ft = build_filter_table(pages, "url", "sbbf", {"bits_per_key": 10},
-                            num_partitions=8).materialize()
-    return probe(ft, urls, "url", max_broadcast_bytes=0)
+    ft = _cached_ft(sf_dir, "sbbf", {"bits_per_key": 10})
+    return probe(ft, _cached_urls(sf_dir), "url", max_broadcast_bytes=0)
 
 
 def _q_dedup_urls(sf_dir: str):
-    return distinct_keys(pages_dataset(sf_dir), "url")
+    return _cached_urls(sf_dir)
 
 
 def _q_distinct_url_count(sf_dir: str):
-    n = distinct_keys(pages_dataset(sf_dir), "url").count()
+    n = _cached_urls(sf_dir).count()
     return pd.DataFrame({"n_distinct": [n]})
 
 
 def _q_host_freq(sf_dir: str):
-    return grouped_count(pages_dataset(sf_dir),
+    return grouped_count(_cached_pages(sf_dir),
                          lambda t: host_of(t["url"]),
                          key_name="host", count_name="n")
 
 
 def _q_text_len_quantiles(sf_dir: str):
     return exact_quantiles_via_counts(
-        pages_dataset(sf_dir), lambda t: pc.utf8_length(t["text"]), _QS)
+        _cached_pages(sf_dir), lambda t: pc.utf8_length(t["text"]), _QS)
 
 
 def _q_events_semijoin(sf_dir: str):
@@ -117,57 +165,112 @@ def _q_events_semijoin(sf_dir: str):
 # -- rows-only (non-SQL-expressible estimates) ------------------------------
 
 def _q_hll_distinct_url(sf_dir: str):
-    pages = pages_dataset(sf_dir)
+    """HLL distinct-url estimate, self-checking: the exact distinct count
+    rides along with the published +/-1.04/sqrt(m) bound (4 sigma) so the
+    driver artifact itself shows within_bound instead of relying on the
+    pytest bound checks alone."""
+    pages = _cached_pages(sf_dir)
     s = sketch_aggregate(pages, "url", lambda: HllSketch.create(p=14),
                          lambda sk, col: sk.update(hash_strings(col)))
+    exact = _cached_urls(sf_dir).count()
+    est = s.estimate()
+    bound = 4 * s.rel_error() * exact
     return pd.DataFrame({"metric": ["hll_distinct_url"], "p": [14],
-                         "estimate": [s.estimate()],
-                         "rel_error_bound": [s.rel_error()]})
+                         "estimate": [est], "exact": [exact],
+                         "bound": [bound],
+                         "within_bound": [abs(est - exact) <= bound]})
 
 
 def _q_cms_host_freq(sf_dir: str):
-    pages = pages_dataset(sf_dir).materialize()
+    """CMS host-frequency estimates next to exact counts for the exact
+    top-10 hosts.  CMS guarantees exact <= estimate <= exact + eps*N
+    (eps = e/width) with prob 1-delta; within_bound checks both sides.
+    Top-10 selection goes through topk_by_count (per-block local top-k,
+    pinned tie rule) -- no driver-side sort over all distinct hosts."""
+    pages = _cached_pages(sf_dir)
     s = sketch_aggregate(pages, "url",
                          lambda: CmsSketch.create(depth=4, width=1 << 16),
                          lambda sk, col: sk.update(hash_strings(host_of(col))))
-    top = (grouped_count(pages, lambda t: host_of(t["url"]),
-                         key_name="host", count_name="n")
-           .to_pandas().sort_values("n", ascending=False).head(10))
+    top = topk_by_count(pages, lambda t: host_of(t["url"]), k=10,
+                        key_name="host", count_name="n")
     est = s.query(hash_strings(pa.array(top["host"].tolist())))
+    n_total = pages.count()
+    bound = np.e / float(1 << 16) * n_total
+    exact = top["n"].values.astype(np.int64)
     return pd.DataFrame({"host": top["host"].values,
-                         "exact_n": top["n"].values,
-                         "cms_estimate": est})
+                         "exact_n": exact,
+                         "cms_estimate": est,
+                         "bound": bound,
+                         "within_bound": (est >= exact)
+                         & (est <= exact + bound)})
 
 
 def _sketch_quantiles(sf_dir: str, which: str):
-    pages = pages_dataset(sf_dir)
+    """KLL / t-digest quantile estimates, self-checking BY RANK (the
+    bound quantile sketches actually promise): the estimate's exact rank
+    interval [count(v<est), count(v<=est)]/n must overlap [q-eps, q+eps]
+    (KLL's eps() from its k; a conservative 0.02 for the t-digest at
+    delta=200 -- t-digest interpolates between data values, so a value
+    bracket would mis-flag correct estimates in sparse tails)."""
+    from raysketch.pipeline import value_rank_intervals_via_counts
+    pages = _cached_pages(sf_dir)
     if which == "kll":
+        eps = KllSketch.create(k=200).eps()
         s = sketch_aggregate(
             pages, "text", lambda: KllSketch.create(k=200),
             lambda sk, col: sk.update(
                 np.asarray(pc.utf8_length(col), dtype=np.float64)))
     else:
+        eps = 0.02
         s = sketch_aggregate(
             pages, "text", lambda: TDigest.create(delta=200),
             lambda sk, col: sk.update(
                 np.asarray(pc.utf8_length(col), dtype=np.float64)))
     est = s.quantile(np.array(_QS))
-    return pd.DataFrame({"q": _QS, "estimate": est})
+    exact = exact_quantiles_via_counts(
+        pages, lambda t: pc.utf8_length(t["text"]), _QS)
+    lo, hi = value_rank_intervals_via_counts(
+        pages, lambda t: pc.utf8_length(t["text"]), est)
+    qs = np.asarray(_QS)
+    ex = exact["v"].values.astype(np.int64)
+    # rank overlap is the sketch's formal promise; the value-proximity
+    # escape (2% of the exact quantile) covers heavy TIES, where an
+    # interpolated estimate a hair above the tied value jumps whole rank
+    # mass (e.g. text len 10 spans ranks .45-.80 here) without being
+    # meaningfully wrong
+    rank_ok = (hi >= qs - eps) & (lo <= qs + eps)
+    value_ok = np.abs(est - ex) <= 0.02 * np.maximum(np.abs(ex), 1)
+    return pd.DataFrame({"q": _QS, "estimate": est, "exact": ex,
+                         "rank_eps": eps,
+                         "within_bound": rank_ok | value_ok})
 
 
 def _q_bottomk_url_sample(sf_dir: str):
     """Mergeable bottom-k: uniform sample over DISTINCT urls + distinct
-    estimate, bit-identical state under any merge order (rows-only; the
-    estimate bound + merge invariance are pytest-verified)."""
-    pages = pages_dataset(sf_dir)
+    estimate, bit-identical state under any merge order (rows-only; merge
+    invariance is pytest-verified).  Self-checking: the k-th-smallest-hash
+    estimator carries its 1/sqrt(k-2) relative bound (4 sigma) next to
+    the exact distinct count.  Payloads enter via update_packed straight
+    from the Arrow (offsets, data) buffers -- no per-row encode loop."""
+    from raysketch.hashing import _string_buffers
+    pages = _cached_pages(sf_dir)
+
+    def upd(sk, col):
+        offsets, data = _string_buffers(col)
+        sk.update_packed(hash_strings(col), data, offsets)
+
     s = sketch_aggregate(
-        pages, "url", lambda: BottomKSketch.create(k=256),
-        lambda sk, col: sk.update(
-            hash_strings(col), [u.encode() for u in col.to_pylist()]))
+        pages, "url", lambda: BottomKSketch.create(k=256), upd)
+    exact = _cached_urls(sf_dir).count()
+    est = s.estimate()
+    bound = 4 * s.rel_error() * exact
     sample = sorted(s.sample())[:20]
     return pd.DataFrame({
         "metric": ["bottomk_distinct_urls"] * len(sample),
-        "estimate": [round(s.estimate(), 1)] * len(sample),
+        "estimate": [round(est, 1)] * len(sample),
+        "exact": [exact] * len(sample),
+        "bound": [round(bound, 1)] * len(sample),
+        "within_bound": [abs(est - exact) <= bound] * len(sample),
         "sample_url": sample,
     })
 
@@ -181,14 +284,12 @@ def _q_fpr_report(sf_dir: str):
     import time as _t
 
     import ray.data as rd
-    pages = pages_dataset(sf_dir).materialize()
-    absent = rd.from_items(
+    absent = _cached(("absent", sf_dir), lambda: rd.from_items(
         [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
-         for i in range(4096)]).materialize()
+         for i in range(4096)]).materialize())
     rows = []
     for name, (kind, params) in _FILTER_CONFIGS.items():
-        ft = build_filter_table(pages, "url", kind, params,
-                                num_partitions=8).materialize()
+        ft = _cached_ft(sf_dir, kind, params)
         pdf = ft.to_pandas()
         t0 = _t.perf_counter()
         hits = probe(ft, absent, "url").sum("hit") or 0
@@ -216,19 +317,16 @@ def _q_member_sbbf_merge(sf_dir: str):
     OR tree-merge) -- must agree with the oracle exactly like the holistic
     build (zero false negatives on present keys)."""
     from raysketch.pipeline import build_filter_table_sbbf_merge
-    pages = pages_dataset(sf_dir).materialize()
-    urls = distinct_keys(pages, "url").materialize()
+    pages = _cached_pages(sf_dir)
     ft = build_filter_table_sbbf_merge(pages, "url", bits_per_key=10,
                                        num_partitions=8).materialize()
-    return probe(ft, urls, "url")
+    return probe(ft, _cached_urls(sf_dir), "url")
 
 
 def _q_token_stats(sf_dir: str):
-    import ray.data as rd
     from raysketch.text import token_stats
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return docs.map_batches(token_stats, batch_format="pyarrow")
+    return _cached_docs(sf_dir).map_batches(token_stats,
+                                            batch_format="pyarrow")
 
 
 def _q_exact_dedup_docs(sf_dir: str):
@@ -238,15 +336,25 @@ def _q_exact_dedup_docs(sf_dir: str):
     return exact_dedup(docs, "text", "doc_id")
 
 
+def _query_vectors(emb, n: int = 3) -> np.ndarray:
+    """Embedding rows with the n smallest vec_ids, selected by per-block
+    local min-k + a tiny driver merge (at most n rows per block reach the
+    driver) -- NOT a distributed sort-for-limit."""
+    def local_min(t: pa.Table) -> pa.Table:
+        df = t.select(["vec_id", "embedding"]).to_pandas()
+        return pa.Table.from_pandas(df.nsmallest(n, "vec_id"),
+                                    preserve_index=False)
+
+    parts = emb.map_batches(local_min, batch_format="pyarrow").to_pandas()
+    qdf = parts.nsmallest(n, "vec_id").sort_values("vec_id")
+    return np.stack(qdf["embedding"].values).astype(np.float64)
+
+
 def _q_ann_topk(sf_dir: str):
-    import ray.data as rd
     from raysketch.ann import brute_force_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
-    # query selection without materializing the table on the driver
-    qdf = emb.sort("vec_id").limit(3).to_pandas()
-    queries = np.stack(qdf["embedding"].values).astype(np.float64)
-    out = brute_force_topk(emb, "embedding", "vec_id", queries, k=5,
-                           concurrency=2)
+    emb = _cached_emb(sf_dir)
+    out = brute_force_topk(emb, "embedding", "vec_id",
+                           _query_vectors(emb), k=5, concurrency=2)
     # query_id is positional over the 3 smallest vec_ids == vec_id 0,1,2
     return out[["query_id", "rank", "vec_id"]]
 
@@ -254,16 +362,17 @@ def _q_ann_topk(sf_dir: str):
 def _neardup_corpus(sf_dir: str):
     """documents + deterministic planted near-dups (doc_id+100000, text with
     its first 20 chars removed) -- gives LSH something real to find."""
-    import ray.data as rd
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    def build():
+        docs = _cached_docs(sf_dir)
 
-    def plant(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.add(t["doc_id"], 100000),
-            "text": pc.utf8_slice_codeunits(t["text"], 20),
-        })
-    return docs.union(docs.map_batches(plant, batch_format="pyarrow"))
+        def plant(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.add(t["doc_id"], 100000),
+                "text": pc.utf8_slice_codeunits(t["text"], 20),
+            })
+        return docs.union(docs.map_batches(
+            plant, batch_format="pyarrow")).materialize()
+    return _cached(("neardup_corpus", sf_dir), build)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -292,27 +401,20 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_langid(sf_dir: str):
-    import ray.data as rd
     from raysketch.text import language_id
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return language_id(docs, concurrency=2)
+    return language_id(_cached_docs(sf_dir), concurrency=2)
 
 
 def _q_quality(sf_dir: str):
-    import ray.data as rd
     from raysketch.text import quality_scores
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return docs.map_batches(quality_scores, batch_format="pyarrow")
+    return _cached_docs(sf_dir).map_batches(quality_scores,
+                                            batch_format="pyarrow")
 
 
 def _q_fingerprints(sf_dir: str):
-    import ray.data as rd
     from raysketch.text import fingerprints
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    out = docs.map_batches(fingerprints, batch_format="pyarrow")
+    out = _cached_docs(sf_dir).map_batches(fingerprints,
+                                           batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "fingerprint": pc.cast(
@@ -324,10 +426,8 @@ def _q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over embeddings + deterministic planted duplicates
     (vec_id+100000, vector scaled by 0.999 -- cosine 1.0 with its source),
     so the LSH-bucketed detector has real positives to find."""
-    import ray.data as rd
     from raysketch.dedup import embedding_neardup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+    emb = _cached_emb(sf_dir)
 
     def plant(t: pa.Table) -> pa.Table:
         # planted ids are source+100000; the testdata embeddings tables
@@ -350,57 +450,52 @@ def _q_embedding_neardup(sf_dir: str):
                                    threshold=0.95, bits=8)
 
 
+def _cached_lang_docs(sf_dir: str):
+    return _cached_docs(sf_dir, cols=("lang", "text"))
+
+
 def _q_text_len_quantiles_per_lang(sf_dir: str):
     """Exact grouped quantiles: one (lang, len) combiner count shuffle,
-    driver-side rank walk per lang (distinct (lang,len) rows only)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["lang", "text"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = pd.DataFrame({"lang": np.asarray(t["lang"]),
-                           "v": np.asarray(pc.utf8_length(t["text"]))})
-        g = df.groupby(["lang", "v"]).size().reset_index(name="partial")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    counts = (docs.map_batches(partial, batch_format="pyarrow")
-                  .groupby(["lang", "v"])
-                  .aggregate(Sum("partial", alias_name="cnt"))
-                  .to_pandas())
-    rows = []
-    for lang, g in counts.groupby("lang"):
-        g = g.sort_values("v")
-        cum = g["cnt"].cumsum().values
-        total = int(cum[-1])
-        vals = g["v"].values
-        for q in _QS:
-            i = int(np.searchsorted(cum, int(np.ceil(q * total)), "left"))
-            rows.append({"lang": lang, "q": float(q),
-                         "v": int(vals[min(i, len(vals) - 1)])})
-    return pd.DataFrame(rows)
+    then the per-lang rank walk runs INSIDE map_groups (distributed; a
+    high-cardinality group would never land on the driver)."""
+    from raysketch.pipeline import exact_grouped_quantiles
+    return exact_grouped_quantiles(
+        _cached_lang_docs(sf_dir), lambda t: t["lang"],
+        lambda t: pc.utf8_length(t["text"]), _QS, key_name="lang")
 
 
 def _q_kll_text_len_per_lang(sf_dir: str):
     """Per-key KLL quantile sketches via the generic grouped mergeable-
-    sketch path (same shape as hll_urls_per_host, different sketch)."""
-    import ray.data as rd
-    from raysketch.pipeline import grouped_sketch_aggregate
+    sketch path (same shape as hll_urls_per_host, different sketch).
+    Self-checking: each estimate is bracketed by the exact per-lang
+    values at ranks q +/- eps (KLL's additive rank bound)."""
+    from raysketch.pipeline import (exact_grouped_quantiles,
+                                    grouped_sketch_aggregate)
     from raysketch.sketches import sketch_from_bytes
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["lang", "text"])
+    docs = _cached_lang_docs(sf_dir)
     states = grouped_sketch_aggregate(
         docs, lambda t: t["lang"],
         lambda t: np.asarray(pc.utf8_length(t["text"]), dtype=np.float64),
         lambda: KllSketch.create(k=200),
         key_name="lang", num_salts=2).to_pandas()
+    eps = KllSketch.create(k=200).eps()
+    corner_qs = sorted({min(max(q + d, 1e-9), 1.0)
+                        for q in _QS for d in (-eps, 0.0, eps)})
+    exact = exact_grouped_quantiles(
+        docs, lambda t: t["lang"], lambda t: pc.utf8_length(t["text"]),
+        corner_qs, key_name="lang").to_pandas()
+    by_lq = {(r["lang"], round(r["q"], 9)): r["v"]
+             for _, r in exact.iterrows()}
     rows = []
     for _, r in states.iterrows():
         sk = sketch_from_bytes(bytes(r["state"]))
         est = sk.quantile(np.array(_QS))
         for q, v in zip(_QS, est):
-            rows.append({"lang": r["lang"], "q": q, "est_v": float(v)})
+            lo = by_lq[(r["lang"], round(min(max(q - eps, 1e-9), 1.0), 9))]
+            hi = by_lq[(r["lang"], round(min(q + eps, 1.0), 9))]
+            rows.append({"lang": r["lang"], "q": q, "est_v": float(v),
+                         "exact_v": int(by_lq[(r["lang"], round(q, 9))]),
+                         "within_bound": bool(lo <= v <= hi)})
     return pd.DataFrame(rows)
 
 
@@ -501,7 +596,7 @@ def _q_latest_page_per_url(sf_dir: str):
     max, then one groupby(url).max shuffle of (url, ts) pairs only."""
     import pandas as pd
     from ray.data.aggregate import Max
-    pages = pages_dataset(sf_dir)
+    pages = _cached_pages(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"url": np.asarray(t["url"]),
@@ -517,31 +612,27 @@ def _q_latest_page_per_url(sf_dir: str):
 def _q_sample_pages(sf_dir: str):
     """Seeded uniform row sample (rows-only: sampling is nondeterministic
     across Ray versions even when seeded per-block; size bounds tested)."""
-    pages = pages_dataset(sf_dir)
+    pages = _cached_pages(sf_dir)
     return pages.random_sample(0.05, seed=42).map_batches(
         lambda t: t.select(["url", "lang"]), batch_format="pyarrow")
 
 
 def _q_topk_hosts(sf_dir: str):
-    return topk_by_count(pages_dataset(sf_dir),
+    return topk_by_count(_cached_pages(sf_dir),
                          lambda t: host_of(t["url"]), k=20,
                          key_name="host", count_name="n")
 
 
 def _q_token_freq_topk(sf_dir: str):
-    import ray.data as rd
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return topk_by_count(docs, lambda t: tokens_of(t), k=20,
-                         key_name="token", count_name="n")
+    return topk_by_count(_cached_docs(sf_dir), lambda t: tokens_of(t),
+                         k=20, key_name="token", count_name="n")
 
 
 def _q_cms_token_freq(sf_dir: str):
     """CMS token-frequency estimates next to exact counts for the exact
-    top-10 tokens (north-star op: count-min over token frequencies)."""
-    import ray.data as rd
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).materialize()
+    top-10 tokens (north-star op: count-min over token frequencies).
+    Self-checking: exact <= estimate <= exact + eps*N_tokens."""
+    docs = _cached_docs(sf_dir)
     s = sketch_aggregate(docs, "text",
                          lambda: CmsSketch.create(depth=4, width=1 << 16),
                          lambda sk, col: sk.update(hash_strings(
@@ -549,16 +640,25 @@ def _q_cms_token_freq(sf_dir: str):
     top = topk_by_count(docs, lambda t: tokens_of(t), k=10,
                         key_name="token", count_name="n")
     est = s.query(hash_strings(pa.array(top["token"].tolist())))
+    n_tokens = docs.map_batches(
+        lambda t: pa.table({"n": pa.array([len(tokens_of(t))],
+                                          pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0
+    bound = np.e / float(1 << 16) * n_tokens
+    exact = top["n"].values.astype(np.int64)
     return pd.DataFrame({"token": top["token"].values,
-                         "exact_n": top["n"].values,
-                         "cms_estimate": est})
+                         "exact_n": exact,
+                         "cms_estimate": est,
+                         "bound": bound,
+                         "within_bound": (est >= exact)
+                         & (est <= exact + bound)})
 
 
 def _q_distinct_urls_per_host(sf_dir: str):
     """Exact distinct urls per host: (host,url) pairs deduped per batch,
     one shuffle on the pair, then a per-host count."""
     import pandas as pd
-    pages = pages_dataset(sf_dir)
+    pages = _cached_pages(sf_dir)
 
     def pairs(t: pa.Table) -> pa.Table:
         host = np.asarray(host_of(t["url"]))
@@ -574,20 +674,28 @@ def _q_distinct_urls_per_host(sf_dir: str):
 
 def _q_hll_urls_per_host(sf_dir: str):
     """HLL distinct-url sketch PER HOST with salted pre-aggregation
-    (north-star op); returns estimates next to nothing SQL-checkable
-    (rows-only; bound asserted in tests)."""
+    (north-star op).  Self-checking: exact per-host distinct counts ride
+    along with the 4-sigma register bound (rows-only; the same bound is
+    also asserted in tests)."""
     from raysketch.pipeline import grouped_sketch_aggregate
     from raysketch.sketches import HllSketch, sketch_from_bytes
-    pages = pages_dataset(sf_dir)
+    pages = _cached_pages(sf_dir)
     states = grouped_sketch_aggregate(
         pages, lambda t: host_of(t["url"]),
         lambda t: hash_strings(t["url"]),
         lambda: HllSketch.create(p=12),
         key_name="host", num_salts=4).to_pandas()
-    ests = [sketch_from_bytes(bytes(b)).estimate()
-            for b in states["state"]]
+    ests = np.array([sketch_from_bytes(bytes(b)).estimate()
+                     for b in states["state"]])
+    exact = (_q_distinct_urls_per_host(sf_dir).to_pandas()
+             .set_index("host")["n_urls"])
+    ex = exact.reindex(states["host"].values).values.astype(np.int64)
+    rel = HllSketch.create(p=12).rel_error()
     return pd.DataFrame({"host": states["host"],
-                         "est_distinct_urls": np.round(ests, 1)})
+                         "est_distinct_urls": np.round(ests, 1),
+                         "exact_distinct_urls": ex,
+                         "within_bound": np.abs(ests - ex)
+                         <= 4 * rel * np.maximum(ex, 1)})
 
 
 def _q_decode_images(sf_dir: str):
@@ -630,21 +738,23 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_bpe_tokens(sf_dir: str):
-    import ray.data as rd
     from raysketch.text import bpe_token_stats
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return docs.map_batches(bpe_token_stats, batch_format="pyarrow")
+    return _cached_docs(sf_dir).map_batches(bpe_token_stats,
+                                            batch_format="pyarrow")
 
 
 def _q_ann_ivf(sf_dir: str):
-    import ray.data as rd
-    from raysketch.ann import ivf_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
-    qdf = emb.sort("vec_id").limit(3).to_pandas()
-    queries = np.stack(qdf["embedding"].values).astype(np.float64)
-    out = ivf_topk(emb, "embedding", "vec_id", queries, k=5,
-                   n_centroids=8, nprobe=4, concurrency=2)
+    """IVF through the PERSISTED index path: centroid-bucketed parquet
+    built once (cached across driver queries), searches read only the
+    nprobe nearest buckets' files."""
+    import tempfile
+
+    from raysketch.ann import build_ivf_index, ivf_search
+    emb = _cached_emb(sf_dir)
+    index = _cached(("ivf_index", sf_dir), lambda: build_ivf_index(
+        emb, "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="raysketch-ivf-"), n_centroids=8))
+    out = ivf_search(index, _query_vectors(emb), k=5, nprobe=4)
     return out[["query_id", "rank", "vec_id"]]
 
 
@@ -658,14 +768,12 @@ def entry() -> Any:
     verify zero false negatives, measure FPR on absent keys -> stats table
     (the Ray shape of the reference bench, src/bench.zig:195-238)."""
     sf = "/root/testdata/sf0.001"
-    pages = pages_dataset(sf).materialize()
-    urls = distinct_keys(pages, "url").materialize()
+    urls = _cached_urls(sf)
     report = _q_fpr_report(sf)
     # zero-false-negative assertion on one representative config per family
     for name in ("sbbf10", "xorf3_16", "ribbon64_16"):
         kind, params = _FILTER_CONFIGS[name]
-        ft = build_filter_table(pages, "url", kind, params,
-                                num_partitions=4).materialize()
+        ft = _cached_ft(sf, kind, params)
         n_hit = probe(ft, urls, "url").sum("hit")
         assert n_hit == urls.count(), f"false negatives in {name}"
     return report

@@ -136,12 +136,26 @@ def _pairs_from_ids(ids: np.ndarray, bucket_salt: int,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-#: shuffle partitions for bucketed pair emission.  Buckets are grouped by
-#: bkey % SHUFFLE_PARTS and one map_groups call processes ALL buckets of a
-#: partition (vectorized run detection) -- grouping by the raw bucket key
-#: would make one Python group-call per bucket (~1ms each; measured 25s+
-#: just in group dispatch at 32k buckets).
+#: floor on shuffle partitions for bucketed pair emission.  Buckets are
+#: grouped by bkey % parts and one map_groups call processes ALL buckets
+#: of a partition (vectorized run detection) -- grouping by the raw bucket
+#: key would make one Python group-call per bucket (~1ms each; measured
+#: 25s+ just in group dispatch at 32k buckets).
 SHUFFLE_PARTS = 64
+
+
+def _shuffle_parts(requested: int | None = None) -> int:
+    """Coarse-shuffle partition count sized to the CLUSTER (4 group tasks
+    per CPU for latency hiding), not a fixed constant: on a 256-node
+    cluster 64 partitions would cap pair-emission parallelism at a
+    fraction of the machine.  Evaluated once on the driver at pipeline
+    construction; the value is closed over by the worker fns."""
+    if requested is not None:
+        return int(requested)
+    import ray
+    ncpu = float(ray.cluster_resources().get("CPU", 16.0)) \
+        if ray.is_initialized() else 16.0
+    return int(max(SHUFFLE_PARTS, 4 * ncpu))
 
 
 def _pairs_partition_fn(cap: int = HOT_BUCKET_CAP):
@@ -213,19 +227,26 @@ def _shingle_hashes_from_column(col, k: int):
     """Shingle hashes straight from an Arrow string/binary column: the
     column's (offsets, data) buffers ARE the concatenated byte layout the
     kernel wants, so no per-row .as_py()/encode loop and no b"".join.
-    Documents shorter than k are zero-padded to one shingle (rare; handled
-    by rebuilding just those rows)."""
+    Documents shorter than k are zero-padded to one shingle by a
+    VECTORIZED buffer rebuild (one scatter over the batch's bytes) -- one
+    short doc never demotes the whole batch to a per-row path."""
     from .hashing import _string_buffers
     offsets, data = _string_buffers(col)
-    lens = offsets[1:] - offsets[:-1]
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    starts = offsets[:-1].astype(np.int64)
     if (lens >= k).all():
-        return _char_shingle_hashes_buf(
-            np.asarray(data), offsets[:-1].astype(np.int64),
-            lens.astype(np.int64), k)
-    # slow path only for the short rows: pad them, rebuild the buffer
-    texts = [bytes(data[offsets[i]:offsets[i + 1]]) for i in
-             range(len(lens))]
-    return _char_shingle_hashes(texts, k)
+        return _char_shingle_hashes_buf(np.asarray(data), starts, lens, k)
+    new_lens = np.maximum(lens, k)
+    new_starts = np.concatenate(
+        [[0], np.cumsum(new_lens)[:-1]]).astype(np.int64)
+    buf = np.zeros(int(new_lens.sum()), dtype=np.uint8)
+    total_src = int(lens.sum())
+    if total_src:
+        src_cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        within = np.arange(total_src) - np.repeat(src_cum, lens)
+        buf[np.repeat(new_starts, lens) + within] = \
+            np.asarray(data)[np.repeat(starts, lens) + within]
+    return _char_shingle_hashes_buf(buf, new_starts, new_lens, k)
 
 
 def _char_shingle_hashes(texts: list[bytes], k: int):
@@ -360,6 +381,7 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
     surfaces from that band's groupby; distinct-ing on (doc_a, doc_b)
     happens in a second groupby, never on the driver."""
     r = num_perm // bands
+    parts = _shuffle_parts()
 
     def banded(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -378,7 +400,7 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
             bh[:, b] = murmur64a_u64(acc, 1000 + b)
         bkey = bh.reshape(-1)
         return pa.table({
-            "part": pa.array((bkey % U64(SHUFFLE_PARTS)).astype(np.int32)),
+            "part": pa.array((bkey % U64(parts)).astype(np.int32)),
             "bkey": pa.array(bkey.view(np.int64), pa.int64()),
             "doc_id": pa.array(ids),
         })
@@ -451,15 +473,18 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
     becomes the min of its own and its neighbors' labels (two partitioned
     joins + a groupby-min; only (node:i64, label:i64) rows move) -- which
     converges in O(component diameter) iterations (near-dup clusters are
-    clique-ish, so a handful).  Convergence is detected by the monotone
-    label sum; max_iters bounds pathological chains.  Survivors are
-    selected with a left-anti join of the loser ids -- no driver-side
-    cluster state at any point."""
-    # convergence probe: per-node labels are monotone non-increasing under
-    # min-propagation, so an unchanged label SUM means a fixed point.
-    # (At >=10^9 nodes with sparse 64-bit ids the sum could overflow i64;
-    # renumber node ids densely first in that regime.)
+    clique-ish, so a handful).  Convergence = the COUNT of labels that
+    changed this iteration reaching zero: each label row carries its
+    previous value through the groupby (Min over a prev column that
+    neighbor messages set to +inf), so the probe is overflow-free for
+    arbitrary sparse 64-bit ids -- unlike a label-sum probe, which can
+    alias at >=1e9 sparse ids.  Survivors are selected with a left-anti
+    join of the loser ids -- no driver-side cluster state at any point."""
+    import warnings
+
     from ray.data.aggregate import Min
+
+    _I64_MAX = np.iinfo(np.int64).max
 
     edges = _minhash_verified_pairs_ds(
         ds, text_col, id_col, num_perm, bands, shingle_k, threshold,
@@ -480,7 +505,7 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
                      batch_format="pyarrow"),
         num_partitions).materialize()
 
-    prev_sum = None
+    changed = None
     for _ in range(max_iters):
         msgs_b = _join(edges, labels, "inner", num_partitions,
                        ("doc_a",), ("node",)).map_batches(
@@ -490,23 +515,41 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
                        ("doc_b",), ("node",)).map_batches(
             lambda t: pa.table({"node": t["doc_a"], "label": t["label"]}),
             batch_format="pyarrow")
+        # each node's OWN row carries prev=its current label; neighbor
+        # messages carry prev=+inf, so after the groupby Min(prev) is the
+        # node's previous label and Min(label) its new one
+        tagged_own = labels.map_batches(
+            lambda t: t.append_column("prev", t["label"]),
+            batch_format="pyarrow")
+        tagged_msgs = msgs_a.union(msgs_b).map_batches(
+            lambda t: t.append_column("prev", pa.array(
+                np.full(len(t), _I64_MAX, np.int64))),
+            batch_format="pyarrow")
+        merged = (tagged_own.union(tagged_msgs)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="m"),
+                             Min("prev", alias_name="p"))
+                  ).materialize()
+        changed = merged.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [int((np.asarray(t["m"]) < np.asarray(t["p"])).sum())],
+                pa.int64())}),
+            batch_format="pyarrow").sum("c") or 0
         labels = _compact(
-            labels.union(msgs_a).union(msgs_b)
-                  .groupby("node").aggregate(Min("label", alias_name="m"))
-                  .map_batches(lambda t: pa.table(
-                      {"node": t["node"], "label": t["m"]}),
-                      batch_format="pyarrow"),
+            merged.map_batches(lambda t: pa.table(
+                {"node": t["node"], "label": t["m"]}),
+                batch_format="pyarrow"),
             num_partitions).materialize()
-        cur = labels.sum("label")
-        if cur == prev_sum:      # labels are monotone non-increasing
+        if changed == 0:
             break
-        prev_sum = cur
-    else:
-        print(f"[raysketch.dedup] neardup_dedup label propagation hit "
-              f"max_iters={max_iters} before converging: components wider "
-              "than that many hops keep one representative PER unconverged "
-              "sub-label (extra survivors, never lost rows); raise "
-              "max_iters for long-chain duplicate graphs")
+    if changed:
+        warnings.warn(
+            f"neardup_dedup label propagation hit max_iters={max_iters} "
+            f"with {changed} labels still changing: components wider than "
+            "that many hops keep one representative PER unconverged "
+            "sub-label (extra survivors, never lost rows); raise "
+            "max_iters for long-chain duplicate graphs",
+            RuntimeWarning, stacklevel=2)
 
     def _losers(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -632,6 +675,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
                          "simhash": pa.array(sh.view(np.int64), pa.int64())})
 
     sigs = ds.map_batches(compute, batch_format="pyarrow").materialize()
+    parts = _shuffle_parts()
 
     def banded(batch: pa.Table) -> pa.Table:
         sh = np.asarray(batch["simhash"]).view(U64)
@@ -643,7 +687,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
             rows_id.append(ids)
         bkey = np.concatenate(rows_key)
         return pa.table({
-            "part": pa.array((bkey % U64(SHUFFLE_PARTS)).astype(np.int32)),
+            "part": pa.array((bkey % U64(parts)).astype(np.int32)),
             "bkey": pa.array(bkey.view(np.int64), pa.int64()),
             "doc_id": pa.array(np.concatenate(rows_id)),
         })
@@ -676,15 +720,21 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 class _HyperplaneLSH:
-    """Stateful bucketing stage: the random hyperplanes are generated ONCE
-    per actor in __init__ (seeded, so every actor derives the identical
-    planes), not per batch."""
+    """Stateful bucketing stage: the random hyperplanes for ALL hash
+    tables are generated ONCE per actor in __init__ (seeded, so every
+    actor derives the identical planes), not per batch.  Emits one
+    (bucket_key, doc_id, unit) row per (vector, table): a pair missed by
+    one table's cut still collides in another (recall recovery), and the
+    table index is folded into the bucket key so tables never mix."""
 
-    def __init__(self, vec_col: str, id_col: str, bits: int, lsh_seed: int):
+    def __init__(self, vec_col: str, id_col: str, bits: int, lsh_seed: int,
+                 num_tables: int, parts: int):
         self.vec_col = vec_col
         self.id_col = id_col
         self.bits = bits
         self.seed = lsh_seed
+        self.num_tables = num_tables
+        self.parts = parts
         self.planes = None  # lazily sized from the first batch's dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -692,35 +742,48 @@ class _HyperplaneLSH:
                         ).astype(np.float64)
         if self.planes is None:
             rng = np.random.default_rng(self.seed)
-            self.planes = rng.standard_normal((vecs.shape[1], self.bits))
-        proj = vecs @ self.planes > 0
-        key = np.bitwise_or.reduce(
-            proj.astype(np.uint64) << np.arange(self.bits, dtype=np.uint64),
-            axis=1)
+            self.planes = rng.standard_normal(
+                (self.num_tables, vecs.shape[1], self.bits))
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1
         unit = vecs / norm
+        ids = np.asarray(batch[self.id_col])
+        keys, out_ids, units = [], [], []
+        for t in range(self.num_tables):
+            proj = vecs @ self.planes[t] > 0
+            key = np.bitwise_or.reduce(
+                proj.astype(np.uint64)
+                << np.arange(self.bits, dtype=np.uint64), axis=1)
+            keys.append(murmur64a_u64(key, 3000 + t))  # table folded in
+            out_ids.append(ids)
+            units.append(unit)
+        key = np.concatenate(keys)
+        unit_all = np.concatenate(units, axis=0)
         return pa.table({
-            "part": pa.array((murmur64a_u64(key, 3000)
-                              % U64(SHUFFLE_PARTS)).astype(np.int32)),
+            "part": pa.array((key % U64(self.parts)).astype(np.int32)),
             "key": pa.array(key.view(np.int64), pa.int64()),
-            "doc_id": batch[self.id_col],
-            "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "unit": pa.array(list(unit_all), pa.list_(pa.float64())),
         })
 
 
 def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
                             threshold: float = 0.98, bits: int = 16,
                             lsh_seed: int = 7, concurrency: int = 4,
-                            cap: int = 2000):
+                            cap: int = 2000, num_tables: int = 2,
+                            num_partitions: int = 8,
+                            shuffle_parts: int | None = None):
     """Cosine near-dup via random-hyperplane LSH bucketing + exact verify.
 
     Stage 1 (actor pool, planes built once per actor): project each vector
-    on `bits` fixed hyperplanes -> bucket key; only same-bucket docs meet.
-    Pairs are verified by exact cosine inside the bucket group; buckets
-    above `cap` members are chunked deterministically (logged, not
-    dropped).  At 10^12 scale the same shape holds with multiple
-    independent hash tables to recover recall."""
+    on `bits` fixed hyperplanes per hash table -> num_tables bucket keys;
+    only same-bucket docs meet.  Pairs are verified by exact cosine inside
+    the bucket group; buckets above `cap` members are chunked
+    deterministically (logged, not dropped).  The same pair can surface
+    from several tables, so pairs are deduped DISTRIBUTED
+    (groupby(doc_a, doc_b).max(cosine) -- cosines of duplicate sightings
+    are identical) before only the final verified pairs reach the driver;
+    shuffle partitioning is sized from the cluster (_shuffle_parts)."""
 
     def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
         """One shuffle partition = many buckets: lexsort finds the bucket
@@ -767,17 +830,26 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
                              "doc_b": np.concatenate(out_b),
                              "cosine": np.concatenate(out_c)})
 
+    from ray.data.aggregate import Max
+
     bucketed = ds.map_batches(
         _HyperplaneLSH, batch_format="pyarrow",
         fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
-                                   bits=bits, lsh_seed=lsh_seed),
+                                   bits=bits, lsh_seed=lsh_seed,
+                                   num_tables=num_tables,
+                                   parts=_shuffle_parts(shuffle_parts)),
         concurrency=pool(concurrency))
-    out = (bucketed.groupby("part")
-                   .map_groups(pairs_of_partition, batch_format="pandas")
-                   .to_pandas())
+    verified = (bucketed.groupby("part")
+                        .map_groups(pairs_of_partition,
+                                    batch_format="pandas"))
+    # distributed distinct (a pair can surface from every table): never a
+    # driver-side drop_duplicates over the raw multi-table pair stream
+    distinct = (verified.groupby(["doc_a", "doc_b"])
+                        .aggregate(Max("cosine", alias_name="cosine")))
+    out = distinct.to_pandas()
     if not len(out):
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "cosine": pd.Series([], dtype="float64")})
-    return (out.drop_duplicates(["doc_a", "doc_b"])
-               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return (out[["doc_a", "doc_b", "cosine"]]
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

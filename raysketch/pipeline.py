@@ -280,27 +280,28 @@ class Prober:
 
 
 def _payload_refs(filter_table):
-    """{partition_id: ObjectRef(payload bytes)} + num_partitions, without
-    assembling the payloads on the driver: each filter-table BLOCK is
-    shipped to a Ray task that ray.put()s its payloads worker-side and
-    returns only the (tiny) id->ref dict."""
+    """{partition_id: ObjectRef(payload bytes)} + num_partitions.  Filter
+    table blocks stream to the DRIVER one at a time and each payload is
+    ray.put there: the driver holds at most one block of payload bytes at
+    any moment, and -- critically -- it OWNS every ref.  Refs created
+    inside short-lived worker tasks die with their owner (OwnerDiedError
+    mid-probe once Ray culls the idle worker), exactly on the long
+    large-filter-table jobs this path exists for; the driver is the one
+    process guaranteed to outlive the probe."""
     import ray
 
     if hasattr(filter_table, "to_arrow_refs"):
-        @ray.remote(num_cpus=0.25)
-        def put_block(tbl: pa.Table):
-            if tbl.num_rows == 0:   # aggregator empty blocks are schemaless
-                return {}, None
-            refs = {int(pid): ray.put(bytes(p))
-                    for pid, p in zip(tbl["partition_id"].to_pylist(),
-                                      tbl["payload"].to_pylist())}
-            return refs, int(tbl["num_partitions"][0].as_py())
         out, num_partitions = {}, None
-        parts = ray.get([put_block.remote(r)
-                         for r in filter_table.to_arrow_refs()])
-        for refs, npart in parts:
-            out.update(refs)
-            num_partitions = num_partitions or npart
+        for block_ref in filter_table.to_arrow_refs():
+            tbl = ray.get(block_ref)
+            if tbl.num_rows == 0:   # aggregator empty blocks are schemaless
+                continue
+            for pid, p in zip(tbl["partition_id"].to_pylist(),
+                              tbl["payload"].to_pylist()):
+                out[int(pid)] = ray.put(bytes(p))
+            num_partitions = num_partitions or int(
+                tbl["num_partitions"][0].as_py())
+            del tbl
         return out, (num_partitions or 1)
     # pandas path (already driver-resident, i.e. small)
     pdf = filter_table
@@ -311,38 +312,52 @@ def _payload_refs(filter_table):
 
 
 def probe_colocated(filter_table, ds, key_col: str, out_col: str = "hit",
-                    seed: int = 0):
+                    seed: int = 0, shuffle_parts: int | None = None):
     """Partition-colocated probe for filter tables too large to broadcast.
 
-    Each payload goes to the object store INDIVIDUALLY (ray.put from a
-    worker task per filter-table block -- the driver only ever holds the
-    id->ObjectRef dict); probe rows shuffle once by their partition id and
-    each group task fetches + decodes ONLY its own partition's filter
-    (cached per worker).  Per-task state is one filter instead of the
-    whole table, so a 10^6-partition / multi-TB filter table never
-    assembles anywhere.  Output rows are identical to probe() but arrive
-    groupby-ordered."""
+    Each payload goes to the object store INDIVIDUALLY (driver-owned
+    refs; the driver only ever holds the id->ObjectRef dict plus one
+    in-flight block); probe rows shuffle once by a COARSE shard key
+    (pid % nshards, nshards sized from the cluster) and each group task
+    probes every pid-run in its shard, fetching + decoding only those
+    partitions' filters (cached per worker).  Grouping by the raw pid
+    would cost one Python group-call per partition -- ~1ms each, i.e.
+    ~20 minutes of pure dispatch at the 10^6-partition scale this path
+    targets.  Per-task state is a handful of filters instead of the whole
+    table, so a multi-TB filter table never assembles anywhere.  Output
+    rows are identical to probe() but arrive groupby-ordered."""
+    from .dedup import _shuffle_parts
+
     refs, num_partitions = _payload_refs(filter_table)
+    nshards = min(_shuffle_parts(shuffle_parts), max(1, num_partitions))
 
     def assign(batch: pa.Table) -> pa.Table:
         h = hash_column(batch[key_col], seed)
-        pid = partition_ids(h, num_partitions)
-        return batch.append_column("__pid",
-                                   pa.array(pid.astype(np.int32)))
+        pid = partition_ids(h, num_partitions).astype(np.int32)
+        return (batch.append_column("__pid", pa.array(pid))
+                     .append_column("__shard",
+                                    pa.array(pid % np.int32(nshards))))
 
     def probe_group(group: pa.Table) -> pa.Table:
-        pid = int(group["__pid"][0].as_py())
-        body = group.drop_columns(["__pid"])
-        ref = refs.get(pid)
-        if ref is None:
-            hit = np.zeros(len(body), dtype=bool)
-        else:
+        pid = np.asarray(group["__pid"])
+        body = group.drop_columns(["__pid", "__shard"])
+        h = hash_column(body[key_col], seed)
+        hit = np.zeros(len(body), dtype=bool)
+        order = np.argsort(pid, kind="stable")
+        sp = pid[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], sp[1:] != sp[:-1], [True]]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ref = refs.get(int(sp[s]))
+            if ref is None:
+                continue
             f = _cached_single_filter(ref)
-            hit = f.check(hash_column(body[key_col], seed))
+            sel = order[s:e]
+            hit[sel] = f.check(h[sel])
         return body.append_column(out_col, pa.array(hit))
 
     return (ds.map_batches(assign, batch_format="pyarrow")
-              .groupby("__pid")
+              .groupby("__shard")
               .map_groups(probe_group, batch_format="pyarrow"))
 
 
@@ -780,45 +795,117 @@ def exact_quantiles_via_counts(ds, value_fn, qs: list[float],
     return pd.DataFrame({"q": out_q, value_name: out_v})
 
 
+def value_rank_intervals_via_counts(ds, value_fn, values):
+    """For each x in `values`, the exact rank interval
+    [count(v < x), count(v <= x)] / total of x in the dataset's value
+    distribution -- same distributed value-counts shuffle as
+    exact_quantiles_via_counts, used to verify quantile-sketch estimates
+    by RANK (the bound quantile sketches actually promise; a value
+    bracket mis-flags interpolating sketches like t-digest)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(value_fn(batch))
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"v": pa.array(uniq.astype(np.float64)),
+                         "partial": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("v")
+                .aggregate(Sum("partial", alias_name="cnt"))
+                .to_pandas().sort_values("v"))
+    vals = counts["v"].values
+    cum = counts["cnt"].cumsum().values
+    total = int(cum[-1]) if len(cum) else 0
+    x = np.asarray(values, dtype=np.float64)
+    lo_i = np.searchsorted(vals, x, side="left") - 1
+    hi_i = np.searchsorted(vals, x, side="right") - 1
+    lo = np.where(lo_i >= 0, cum[np.maximum(lo_i, 0)], 0) / max(total, 1)
+    hi = np.where(hi_i >= 0, cum[np.maximum(hi_i, 0)], 0) / max(total, 1)
+    return lo, hi
+
+
+def exact_grouped_quantiles(ds, key_fn, value_fn, qs: list[float],
+                            key_name: str = "key", value_name: str = "v",
+                            q_name: str = "q"):
+    """EXACT per-group quantiles, fully distributed: per-batch
+    (key, value) combiner counts -> one groupby(key, value).sum shuffle
+    (rows = distinct pairs, not input rows) -> per-KEY rank walk inside
+    map_groups, so no group's histogram ever lands on the driver (a
+    high-cardinality value function stays safe at scale).
+
+    Same pinned rule as exact_quantiles_via_counts:
+    q-quantile = min{ v : cumulative_count(v) >= ceil(q * total) }."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_name: np.asarray(key_fn(batch)),
+                           value_name: np.asarray(value_fn(batch))
+                           .astype(np.int64)})
+        g = (df.groupby([key_name, value_name]).size()
+               .reset_index(name="partial"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key_name, value_name])
+                .aggregate(Sum("partial", alias_name="cnt")))
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_name)
+        cum = g["cnt"].cumsum().values
+        total = int(cum[-1])
+        vals = g[value_name].values
+        idx = np.searchsorted(cum, np.ceil(qs_arr * total), side="left")
+        idx = np.minimum(idx, len(vals) - 1)
+        return pd.DataFrame({key_name: g[key_name].iloc[0],
+                             q_name: qs_arr,
+                             value_name: vals[idx].astype(np.int64)})
+
+    return counts.groupby(key_name).map_groups(walk, batch_format="pandas")
+
+
 def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
                            num_partitions: int = 2,
-                           kind: str = "xorf", params: dict | None = None):
-    """Filter-and-verify broadcast semi-join: the reference's production
-    use-case (a compact build-side summary prunes the probe side; false
-    positives are resolved by an exact check -- README.md:54 cost model).
+                           kind: str = "xorf", params: dict | None = None,
+                           join_partitions: int = 8):
+    """Filter-and-verify semi-join: the reference's production use-case
+    (a compact build-side summary prunes the probe side; false positives
+    are resolved by an exact check -- README.md:54 cost model).
 
-    Build side must be small-ish (broadcast of both the filter AND the
-    exact key set).  Result is EXACT."""
+    Stage 1 (no shuffle): the filter table is broadcast and each probe
+    batch drops every key the filter rejects -- at the reference's FPR
+    targets this removes ~all non-members, so only true members plus a
+    ~2^-16 sliver of false positives continue.  Stage 2 (exact): the
+    surviving candidates are verified with a hash-partitioned left-semi
+    join against the distinct build keys.  The build side is never
+    collected or broadcast as raw keys -- only its ~2 bytes/key filter is
+    -- so a build side of 10^10 keys costs one partitioned join over the
+    (tiny) candidate set instead of driver memory.  Result is EXACT."""
     import ray
 
+    from .dedup import _compact, _join
+
     params = params or {"fp_bits": 16, "arity": 3}
+    build_ds = build_ds.materialize()
     ft = build_filter_table(build_ds, build_key_col, kind, params,
                             num_partitions=num_partitions).materialize()
     pdf = ft.to_pandas()
     blobs = {int(r["partition_id"]): bytes(r["payload"])
              for _, r in pdf.iterrows()}
-    exact_keys = np.sort(np.concatenate([
-        np.asarray(b[build_key_col])
-        for b in build_ds.map_batches(
-            lambda t: t.select([build_key_col]),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    ] or [np.zeros(0, dtype=np.int64)]))
     blobs_ref = ray.put(blobs)
-    exact_ref = ray.put(exact_keys)
 
-    def semi_join(batch: pa.Table) -> pa.Table:
+    def prune(batch: pa.Table) -> pa.Table:
         filters = _cached_filters(blobs_ref)
         h = hash_column(batch[key_col])
         maybe = _probe_batch(filters, h, num_partitions)
         if not maybe.any():
             return batch.slice(0, 0)
-        cand = batch.filter(pa.array(maybe))
-        # exact verification of the filter's candidates (resolves FPs)
-        exact = ray.get(exact_ref)
-        keys = np.asarray(cand[key_col])
-        idx = np.searchsorted(exact, keys)
-        idx = np.clip(idx, 0, len(exact) - 1)
-        verified = exact[idx] == keys
-        return cand.filter(pa.array(verified))
+        return batch.filter(pa.array(maybe))
 
-    return ds.map_batches(semi_join, batch_format="pyarrow")
+    cand = ds.map_batches(prune, batch_format="pyarrow")
+    build_keys = _compact(distinct_keys(build_ds, build_key_col),
+                          join_partitions)
+    return _join(cand, build_keys, "left_semi", join_partitions,
+                 (key_col,), (build_key_col,))

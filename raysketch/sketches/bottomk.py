@@ -45,24 +45,51 @@ class BottomKSketch(Sketch):
     def update(self, hashes: np.ndarray, values: list[bytes]) -> None:
         """Add (hash, value) pairs; hashes MUST be the deterministic key
         hash of the values (same key -> same hash on every worker)."""
+        vals = [bytes(v) for v in values]
+        data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        offsets = np.concatenate(
+            [[0], np.cumsum([len(v) for v in vals])]).astype(np.int64)
+        self.update_packed(hashes, data, offsets)
+
+    def update_packed(self, hashes: np.ndarray, data: np.ndarray,
+                      offsets: np.ndarray) -> None:
+        """Buffer-layout update: values arrive as one (data, offsets[n+1])
+        byte layout -- an Arrow string column's own buffers feed this
+        directly, so the hot per-block partial never runs a per-row
+        encode/tobytes loop.  Offsets may have any base (sliced arrays)."""
         h = np.asarray(hashes, dtype=U64)
         if h.size == 0:
             return
+        data = np.asarray(data, dtype=np.uint8)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        own = np.frombuffer(self.payload, dtype=np.uint8)
+        all_data = np.concatenate([own, data])
+        starts = np.concatenate([self.offsets[:-1],
+                                 offsets[:-1] + len(own)])
+        lens = np.concatenate([np.diff(self.offsets), np.diff(offsets)])
         all_h = np.concatenate([self.hashes, h])
-        all_v = self._values() + [bytes(v) for v in values]
         uniq, idx = np.unique(all_h, return_index=True)
         take = min(self.k, len(uniq))
         sel = idx[:take]                     # uniq is sorted ascending
+        sl, ss = lens[sel], starts[sel]
+        new_off = np.concatenate([[0], np.cumsum(sl)]).astype(np.int64)
+        total = int(new_off[-1])
+        if total:
+            # vectorized gather: dest byte j of row i reads
+            # all_data[ss[i] + (j - new_off[i])]
+            src = np.repeat(ss - new_off[:-1], sl) + np.arange(total)
+            self.payload = all_data[src].tobytes()
+        else:
+            self.payload = b""
         self.hashes = uniq[:take]
-        vals = [all_v[i] for i in sel]
-        self.payload = b"".join(vals)
-        self.offsets = np.concatenate(
-            [[0], np.cumsum([len(v) for v in vals])]).astype(np.int64)
+        self.offsets = new_off
 
     def merge(self, other: "BottomKSketch") -> "BottomKSketch":
         if other.k != self.k:
             raise ValueError("bottom-k merge requires identical k")
-        self.update(other.hashes, other._values())
+        self.update_packed(other.hashes,
+                           np.frombuffer(other.payload, dtype=np.uint8),
+                           other.offsets)
         return self
 
     def sample(self) -> list[str]:

@@ -108,33 +108,45 @@ class SbbfFilter(Sketch):
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
+        n = len(hashes)
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
         words2d = self.words.reshape(-1, 8)
-        prior = ((words2d[idx] & mask) == mask).all(axis=1)
-        # intra-batch: a key is a hit when its mask is covered by the
-        # UNION of the pre-batch block word and all earlier in-batch masks
-        # of the same block (either source alone under-reports: a mask can
-        # be half-covered by each) -- seed the per-run accumulator with
-        # the pre-batch word so covers compose exactly like the
-        # sequential reference loop
+        # a key is a hit when its mask is covered by the UNION of the
+        # pre-batch block word and all EARLIER in-batch masks of the same
+        # block (either source alone under-reports: a mask can be
+        # half-covered by each).  Sort by block, then build each key's
+        # same-block exclusive prefix OR with Hillis-Steele log-doubling
+        # -- fully vectorized (the old per-collision Python loop was
+        # effectively per-row at bulk-build densities: ~50 same-block
+        # keys per 155k-key batch at 10 bits/key)
         order = np.argsort(idx, kind="stable")
         srt_idx = idx[order]
         srt_mask = mask[order]
-        dup = np.zeros(len(hashes), dtype=bool)
-        acc = srt_mask | words2d[srt_idx]
-        rep = np.flatnonzero(srt_idx[1:] == srt_idx[:-1]) + 1
-        for i in rep:
-            covered = ((acc[i - 1] & srt_mask[i]) == srt_mask[i]).all()
-            acc[i] = acc[i - 1] | srt_mask[i]
-            if covered:
-                dup[order[i]] = True
-        # final insert: one duplicate-free scatter of each run's
-        # accumulated OR (same reduced-write shape as insert())
         run_start = np.concatenate([[True], srt_idx[1:] != srt_idx[:-1]])
+        run_first = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        pos = np.arange(n) - run_first[run_id]   # position within run
+        incl = srt_mask.copy()                   # inclusive prefix OR
+        shift = 1
+        max_pos = int(pos.max())
+        while shift <= max_pos:
+            src = incl.copy()
+            tgt = np.flatnonzero(pos >= shift)
+            incl[tgt] |= src[tgt - shift]
+            shift *= 2
+        cover = words2d[srt_idx]                 # pre-batch word
+        later = np.flatnonzero(pos >= 1)
+        cover = cover.copy()
+        cover[later] |= incl[later - 1]          # exclusive = incl[i-1]
+        hit_sorted = ((cover & srt_mask) == srt_mask).all(axis=1)
+        out = np.empty(n, dtype=bool)
+        out[order] = hit_sorted
+        # final insert: one duplicate-free scatter of each run's total OR
+        # (same reduced-write shape as insert())
         run_end = np.concatenate([run_start[1:], [True]])
-        words2d[srt_idx[run_end]] |= acc[run_end]
-        return prior | dup
+        words2d[srt_idx[run_end]] |= incl[run_end]
+        return out
 
     def merge(self, other: "SbbfFilter") -> "SbbfFilter":
         if other.num_blocks != self.num_blocks:

@@ -187,3 +187,107 @@ def test_neardup_dedup_transitive_clusters(ray_session):
     for c in range(5):
         chain = {100 + c * 10, 101 + c * 10, 102 + c * 10}
         assert kept & chain == {100 + c * 10}, (c, kept & chain)
+
+
+def test_embedding_neardup_multiblock_parity(ray_session):
+    """Multi-table LSH + distributed pair distinct must give identical
+    pairs regardless of block partitioning (the minhash parity check,
+    applied to the embedding path)."""
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((50, 24))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    for i in range(8):
+        v = base[i] + rng.standard_normal(24) * 0.005
+        rows.append({"vec_id": 100 + i, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    one = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                  threshold=0.99, bits=8, num_tables=2)
+    many = embedding_neardup_pairs(ds.repartition(9), "embedding",
+                                   "vec_id", threshold=0.99, bits=8,
+                                   num_tables=2, shuffle_parts=17)
+    assert one[["doc_a", "doc_b"]].values.tolist() == \
+        many[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(one["cosine"], many["cosine"])
+    found = set(map(tuple, one[["doc_a", "doc_b"]].values))
+    # two independent tables: all 8 planted pairs should be recalled
+    assert sum((i, 100 + i) in found for i in range(8)) >= 7
+
+
+def test_embedding_multi_table_recall_beats_single(ray_session):
+    """Pairs found by table 0 OR table 1 are a superset of table 0's
+    pairs: adding hash tables can only add recall (same verify)."""
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((60, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    for i in range(10):
+        v = base[i] + rng.standard_normal(16) * 0.02
+        rows.append({"vec_id": 200 + i, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    single = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                     threshold=0.98, bits=10, num_tables=1)
+    double = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                     threshold=0.98, bits=10, num_tables=2)
+    s1 = set(map(tuple, single[["doc_a", "doc_b"]].values))
+    s2 = set(map(tuple, double[["doc_a", "doc_b"]].values))
+    assert s1 <= s2
+
+
+def test_neardup_dedup_sparse_64bit_ids(ray_session):
+    """Overflow regime of the old label-SUM convergence probe: huge sparse
+    ids near 2^62 in a transitive chain.  The changed-count probe must
+    converge to exactly one representative (the min id) per component."""
+    import ray.data as rd
+    from raysketch.dedup import neardup_dedup
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(800)]
+    big = 1 << 62
+    rows = []
+    for i in range(20):  # isolated docs at huge ids
+        rows.append({"doc_id": big + 7919 * i,
+                     "text": " ".join(rng.choice(vocab, 80).tolist())})
+    # one 3-chain at huge sparse ids
+    words = rng.choice(vocab, 80).tolist()
+    t0 = list(words)
+    t1 = list(t0); t1[:8] = [f"x{j}" for j in range(8)]
+    t2 = list(t1); t2[-8:] = [f"y{j}" for j in range(8)]
+    ids = [big + 10**9, big + 2 * 10**9, big + 3 * 10**9]
+    for did, t in zip(ids, (t0, t1, t2)):
+        rows.append({"doc_id": did, "text": " ".join(t)})
+    out = neardup_dedup(rd.from_items(rows), "text", "doc_id",
+                        threshold=0.5).to_pandas()
+    kept = set(out["doc_id"])
+    assert {big + 7919 * i for i in range(20)} <= kept
+    assert kept & set(ids) == {ids[0]}
+
+
+def test_neardup_dedup_nonconvergence_warns(ray_session):
+    """A component wider than max_iters hops must surface a
+    RuntimeWarning (never a silent stdout print) and keep extra
+    representatives, never lose rows."""
+    import warnings
+
+    import ray.data as rd
+    from raysketch.dedup import neardup_dedup
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(900)]
+    # one long chain: doc k+1 = doc k with 6 of 80 words changed
+    words = rng.choice(vocab, 80).tolist()
+    rows = [{"doc_id": 0, "text": " ".join(words)}]
+    cur = list(words)
+    for k in range(1, 9):
+        cur = list(cur)
+        cur[(6 * k) % 70:(6 * k) % 70 + 6] = [f"c{k}_{j}" for j in range(6)]
+        rows.append({"doc_id": k, "text": " ".join(cur)})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = neardup_dedup(rd.from_items(rows), "text", "doc_id",
+                            threshold=0.5, max_iters=1).to_pandas()
+    assert any("max_iters" in str(w.message) for w in rec)
+    # one propagation round cannot collapse an 8-hop chain to one id,
+    # but no row may vanish: every survivor is a real doc and doc 0 stays
+    assert 0 in set(out["doc_id"])
+    assert set(out["doc_id"]) <= set(range(9))

@@ -216,3 +216,24 @@ def test_probe_colocated_matches_broadcast(ray_session, pages):
     small = (probe(ft, mixed, "url", max_broadcast_bytes=1).to_pandas()
              .sort_values("url").reset_index(drop=True))
     assert (bc["hit"] == small["hit"]).all()
+
+
+def test_semijoin_filter_verify_distributed_large_build(ray_session):
+    """The exact-verify stage is a partitioned left-semi join, never a
+    driver-side key broadcast: a multi-block 50k-key build side against a
+    probe side with members, non-members, and filter-FP bait must return
+    exactly the true members."""
+    import numpy as np
+    import ray.data as rd
+
+    from raysketch.pipeline import semijoin_filter_verify
+
+    build = rd.range(50_000).map_batches(
+        lambda b: {"bkey": b["id"] * 3},  # members: multiples of 3
+        batch_format="numpy").repartition(16)
+    probe_keys = np.arange(0, 60_000, dtype=np.int64)
+    probe = rd.from_items([{"pkey": int(k)} for k in probe_keys])
+    out = semijoin_filter_verify(probe, "pkey", build, "bkey",
+                                 num_partitions=4).to_pandas()
+    want = {k for k in probe_keys if k % 3 == 0 and k < 150_000}
+    assert set(out["pkey"]) == want

@@ -308,3 +308,78 @@ def test_quality_scores_null_text(ray_session):
     assert q["n_tokens"] == [2, 0]
     # empty doc: every term is 0 except the repetition term (1 - 0) * 0.2
     assert q["quality_score"][1] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_ivf_persisted_index_probes_only_nprobe_buckets(ray_session,
+                                                        tmp_path):
+    """The persisted IVF index must (a) survive on disk and serve a
+    SECOND query set without rebuilding, (b) read only the nprobe nearest
+    buckets' files per search, (c) agree with brute force restricted to
+    those buckets."""
+    import os
+
+    import ray.data as rd
+    from raysketch.ann import build_ivf_index, ivf_search, load_ivf_index
+
+    rng = np.random.default_rng(71)
+    vecs = rng.standard_normal((400, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(400)])
+    idx_dir = str(tmp_path / "ivf")
+    index = build_ivf_index(ds, "embedding", "vec_id", idx_dir,
+                            n_centroids=8, seed=5)
+    files = [f for f in os.listdir(idx_dir) if f.startswith("bucket_")]
+    assert 1 < len(files) <= 8
+    # a fresh load must reproduce the same centroids
+    index2 = load_ivf_index(idx_dir)
+    assert np.allclose(index.centroids, index2.centroids)
+
+    for qseed in (1, 2):  # two independent query sets, same index
+        q = rng.standard_normal((3, 16))
+        out, probed = ivf_search(index2, q, k=5, nprobe=2,
+                                 return_buckets=True)
+        planned = index2.probe_buckets(q, 2)
+        assert set(probed) <= {int(b) for row in planned for b in row}
+        assert len(set(probed)) <= 3 * 2
+        # exact check against brute force over ONLY each query's own
+        # nprobe buckets (ivf_search scans nothing else)
+        import pandas as pd
+        import pyarrow.parquet as pq
+        qe = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for qi in range(3):
+            mine = [int(b) for b in planned[qi] if b in probed]
+            sub = pd.concat(
+                [pq.read_table(index2.bucket_path(b)).to_pandas()
+                 for b in mine], ignore_index=True)
+            units = np.stack(sub["unit"].values)
+            sims = units @ qe[qi]
+            order = np.lexsort((sub["id"].values, -sims))[:5]
+            want = set(sub["id"].values[order])
+            got = set(out[out["query_id"] == qi]["vec_id"])
+            assert got == want, (qi, got, want)
+
+
+def test_ivf_index_resume_skips_existing_buckets(ray_session, tmp_path):
+    """Rebuilding over an existing index dir must not corrupt buckets
+    (resume semantics: existing bucket files are kept)."""
+    import os
+
+    import ray.data as rd
+    from raysketch.ann import build_ivf_index, ivf_search
+
+    rng = np.random.default_rng(77)
+    vecs = rng.standard_normal((200, 8))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(200)])
+    idx_dir = str(tmp_path / "ivf2")
+    build_ivf_index(ds, "embedding", "vec_id", idx_dir, n_centroids=4,
+                    seed=9)
+    mtimes = {f: os.path.getmtime(os.path.join(idx_dir, f))
+              for f in os.listdir(idx_dir) if f.startswith("bucket_")}
+    index = build_ivf_index(ds, "embedding", "vec_id", idx_dir,
+                            n_centroids=4, seed=9)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(idx_dir, f)) == m, f
+    out = ivf_search(index, vecs[:2], k=3, nprobe=4)
+    # with nprobe = all buckets the top hit for an indexed vector is itself
+    assert (out[out["rank"] == 0]["vec_id"].values == [0, 1]).all()
