@@ -159,7 +159,18 @@ def _gxh64_bytes(offsets: np.ndarray, data: np.ndarray,
                  seed: int = DEFAULT_SEED) -> np.ndarray:
     """gxh64: chunked kernel processing 8 input bytes per round, each
     round fully vectorized over all still-active rows; rounds =
-    ceil(max_len/8)."""
+    ceil(max_len/8).  Dispatches to the bit-identical C loop
+    (_native.c:gxh64_bytes, parity pinned by tests/test_native.py) when
+    the compiled kernels are available."""
+    from .native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        n = len(offsets) - 1
+        out = np.empty(n, dtype=U64)
+        lib.gxh64_bytes(np.ascontiguousarray(offsets, dtype=np.int64),
+                        np.ascontiguousarray(data, dtype=np.uint8),
+                        n, seed & 0xFFFFFFFFFFFFFFFF, out)
+        return out
     starts = offsets[:-1]
     lens = (offsets[1:] - starts).astype(np.int64)
     n = len(starts)

@@ -282,6 +282,42 @@ def _backsub_packed(c_lo, c_hi, res, size: int, coeff_bits: int,
     return sol[::-1].astype(_RES_DTYPES[result_bits])
 
 
+def _eliminate_native(lib, pos, lo, hi, rr, size: int):
+    """C cascade elimination (ctypes).  Same success set as the NumPy
+    round-parallel path (consistency is a rank property, independent of
+    pivot order); stored rows may differ but solve the same system."""
+    c_lo = np.zeros(size, dtype=U64)
+    res = np.zeros(size, dtype=U64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    lo = np.ascontiguousarray(lo, dtype=U64)
+    rr64 = np.ascontiguousarray(rr, dtype=U64)
+    if hi is None:
+        ok = lib.ribbon_eliminate64(len(pos), pos, lo, rr64, c_lo, res)
+        return (c_lo, None, res) if ok else None
+    c_hi = np.zeros(size, dtype=U64)
+    hi = np.ascontiguousarray(hi, dtype=U64)
+    ok = lib.ribbon_eliminate128(len(pos), pos, lo, hi, rr64,
+                                 c_lo, c_hi, res)
+    return (c_lo, c_hi, res) if ok else None
+
+
+def _backsub_native(lib, c_lo, c_hi, res, size: int, coeff_bits: int,
+                    result_bits: int) -> np.ndarray:
+    """C shift-register back-substitution; byte-identical to
+    _backsub_packed on the same (c_lo, c_hi, res) -- pytest-verified."""
+    sol32 = np.zeros(size, dtype=np.uint32)
+    if coeff_bits <= 64:
+        lib.ribbon_backsub64(size, np.ascontiguousarray(c_lo, U64),
+                             np.ascontiguousarray(res, U64),
+                             result_bits, sol32)
+    else:
+        lib.ribbon_backsub128(size, np.ascontiguousarray(c_lo, U64),
+                              np.ascontiguousarray(c_hi, U64),
+                              np.ascontiguousarray(res, U64),
+                              result_bits, sol32)
+    return sol32.astype(_RES_DTYPES[result_bits])
+
+
 def _start_multiplier(n: int, coeff_bits: int) -> int:
     """Deterministic sweep entry point (documented deviation from the
     reference's fixed 103% start, src/ribbon.zig:52): for a 64-bit band
@@ -308,10 +344,13 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
     combinations of the input rows, dropped rows reduced to zero
     consistently, so the back-substituted solution satisfies every input
     equation regardless of which key won each pivot."""
+    from ..native import get_lib
+
     hashes = np.asarray(hashes, dtype=U64)
     n = len(hashes)
     next_seed = splitmix64(_INIT_SEED)
     start_mult = _start_multiplier(n, coeff_bits)
+    lib = get_lib()
 
     for multiplier in range(_MIN_MULT, _MAX_MULT + 1):
         if multiplier < start_mult:
@@ -330,12 +369,19 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
             pos_arr = _start_pos_np(seed, start_range, mixed, coeff_bits)
             lo, hi = _coeff_rows_np(seed, mixed, coeff_bits)
             rr = _result_rows_np(seed, mixed, result_bits)
-            elim = _eliminate_np(pos_arr, lo, hi, rr, size, coeff_bits)
+            if lib is not None:
+                elim = _eliminate_native(lib, pos_arr, lo, hi, rr, size)
+            else:
+                elim = _eliminate_np(pos_arr, lo, hi, rr, size, coeff_bits)
             if elim is None:
                 continue
             c_lo, c_hi, res = elim
-            solution = _backsub_packed(c_lo, c_hi, res, size, coeff_bits,
-                                       result_bits)
+            if lib is not None:
+                solution = _backsub_native(lib, c_lo, c_hi, res, size,
+                                           coeff_bits, result_bits)
+            else:
+                solution = _backsub_packed(c_lo, c_hi, res, size,
+                                           coeff_bits, result_bits)
             return seed, solution
 
     raise RuntimeError(

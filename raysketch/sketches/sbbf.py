@@ -55,8 +55,11 @@ class SbbfFilter(Sketch):
 
     def __init__(self, words: np.ndarray, bits_per_key: int,
                  num_keys: int = 0):
-        # words: flat (num_blocks * 8,) u64
+        # words: flat (num_blocks * 8,) u64; must be writable (insert and
+        # the native C kernel mutate in place -- a frombuffer view is not)
         self.words = np.ascontiguousarray(words, dtype=U64)
+        if not self.words.flags.writeable:
+            self.words = self.words.copy()
         self.num_blocks = len(self.words) // 8
         self.bits_per_key = int(bits_per_key)
         self.num_keys = int(num_keys)
@@ -82,6 +85,12 @@ class SbbfFilter(Sketch):
     def insert(self, hashes: np.ndarray) -> None:
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
+            return
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:     # bit-compatible C loop (pytest-verified)
+            lib.sbbf_insert(self.words, self.num_blocks,
+                            np.ascontiguousarray(hashes), len(hashes))
             return
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
@@ -160,6 +169,13 @@ class SbbfFilter(Sketch):
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            out = np.zeros(len(hashes), dtype=np.uint8)
+            lib.sbbf_check(self.words, self.num_blocks,
+                           np.ascontiguousarray(hashes), len(hashes), out)
+            return out.astype(bool)
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
         blocks = self.words[(idx[:, None] * 8 + np.arange(8))]

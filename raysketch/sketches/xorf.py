@@ -138,17 +138,40 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
 
     `hashes` must already be deduplicated u64s.
     """
+    from ..native import get_lib
+
     dtype = _FP_DTYPES[fp_bits]
     header = calculate_header(arity, len(hashes))
     array_len = header["array_length"]
     n = len(hashes)
     next_seed = splitmix64(_SEED_ROOT)
+    lib = get_lib()
 
     for _ in range(_MAX_ATTEMPTS):
         seed = next_seed()
         header["seed"] = seed
         h = murmur64a_u64(hashes, seed)        # src/xorf.zig:7-9 apply_seed
         sub = _make_subhashes(arity, header, h)
+        if lib is not None:
+            # C queue-based peel + reverse solve (_native.c): probe
+            # positions still derive in NumPy (with the documented
+            # _HL_MIX deviation); success is peel-order-independent, so
+            # native and NumPy accept the same seeds
+            count = np.zeros(array_len, dtype=np.uint32)
+            xormask = np.zeros(array_len, dtype=U64)
+            rowmask = np.zeros(array_len, dtype=U64)
+            stack_cell = np.zeros(max(n, 1), dtype=np.uint32)
+            stack_row = np.zeros(max(n, 1), dtype=np.uint32)
+            queue = np.zeros(array_len + arity * n + 1, dtype=np.int64)
+            fp32 = np.zeros(array_len, dtype=np.uint32)
+            ok = lib.xorf_peel_solve(
+                n, np.ascontiguousarray(h, U64),
+                np.ascontiguousarray(sub, np.uint32), arity, array_len,
+                count, xormask, rowmask, stack_cell, stack_row, queue,
+                fp32, fp_bits)
+            if ok:
+                return header, fp32.astype(dtype)
+            continue
         flat = sub.ravel().astype(np.int64)
         count = np.bincount(flat, minlength=array_len).astype(np.int64)
         xormask = np.zeros(array_len, dtype=U64)
