@@ -286,7 +286,7 @@ def _q_fpr_report(sf_dir: str):
     import ray.data as rd
     absent = _cached(("absent", sf_dir), lambda: rd.from_items(
         [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
-         for i in range(4096)]).materialize())
+         for i in range(4096)]).repartition(1).materialize())
     rows = []
     for name, (kind, params) in _FILTER_CONFIGS.items():
         ft = _cached_ft(sf_dir, kind, params)
@@ -375,10 +375,35 @@ def _neardup_corpus(sf_dir: str):
     return _cached(("neardup_corpus", sf_dir), build)
 
 
+def _neardup_shared(sf_dir: str):
+    """One signature + LSH-candidate + verified-pair pass shared by the
+    minhash / ngram-jaccard / neardup-dedup queries (identical corpus and
+    parameters: num_perm=128, bands=32, shingle_k=5, threshold=0.5) --
+    each query used to rerun the whole shingle->minhash->band pipeline."""
+    def build():
+        from raysketch.dedup import (HOT_BUCKET_CAP, _lsh_candidates,
+                                     _minhash_verified_pairs_ds,
+                                     minhash_signatures)
+        corpus = _neardup_corpus(sf_dir)
+        sigs = minhash_signatures(corpus, "text", "doc_id", 128, 5,
+                                  4).materialize()
+        cand = _lsh_candidates(sigs, 128, 32, HOT_BUCKET_CAP).materialize()
+        pairs = _minhash_verified_pairs_ds(
+            corpus, "text", "doc_id", 128, 32, 5, 0.5, 4, 8,
+            HOT_BUCKET_CAP, sigs=sigs, cand=cand)
+        if pairs is not None:
+            pairs = pairs.materialize()
+        return {"sigs": sigs, "cand": cand, "pairs": pairs}
+    return _cached(("neardup_shared", sf_dir), build)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from raysketch.dedup import minhash_lsh_pairs
+    sh = _neardup_shared(sf_dir)
     return minhash_lsh_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
-                             num_perm=128, bands=32, threshold=0.5)
+                             num_perm=128, bands=32, threshold=0.5,
+                             sigs=sh["sigs"], cand=sh["cand"],
+                             pairs=sh["pairs"])
 
 
 def _q_neardup_dedup(sf_dir: str):
@@ -388,8 +413,10 @@ def _q_neardup_dedup(sf_dir: str):
     the output is (close to) the original documents (rows-only: LSH
     recall is probabilistic; component semantics pytest-verified)."""
     from raysketch.dedup import neardup_dedup
+    sh = _neardup_shared(sf_dir)
     out = neardup_dedup(_neardup_corpus(sf_dir), "text", "doc_id",
-                        num_perm=128, bands=32, threshold=0.5)
+                        num_perm=128, bands=32, threshold=0.5,
+                        sigs=sh["sigs"], cand=sh["cand"], pairs=sh["pairs"])
     return out.map_batches(lambda t: t.select(["doc_id"]),
                            batch_format="pyarrow")
 
@@ -610,10 +637,12 @@ def _q_latest_page_per_url(sf_dir: str):
 
 
 def _q_sample_pages(sf_dir: str):
-    """Seeded uniform row sample (rows-only: sampling is nondeterministic
-    across Ray versions even when seeded per-block; size bounds tested)."""
+    """Deterministic ~5% hash-threshold sample by url (md5 kernel so the
+    DuckDB oracle reproduces the selection byte-for-byte; production
+    sampling uses the vectorized gxh64 kernel, same function)."""
+    from raysketch.pipeline import hash_sample
     pages = _cached_pages(sf_dir)
-    return pages.random_sample(0.05, seed=42).map_batches(
+    return hash_sample(pages, "url", 0.05, kernel="md5").map_batches(
         lambda t: t.select(["url", "lang"]), batch_format="pyarrow")
 
 
@@ -733,8 +762,10 @@ def _q_sample_frames(sf_dir: str):
 
 def _q_ngram_jaccard(sf_dir: str):
     from raysketch.dedup import ngram_jaccard_pairs
+    sh = _neardup_shared(sf_dir)
     return ngram_jaccard_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
-                               shingle_k=5, threshold=0.5)
+                               shingle_k=5, threshold=0.5,
+                               sigs=sh["sigs"], cand=sh["cand"])
 
 
 def _q_bpe_tokens(sf_dir: str):
@@ -837,6 +868,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for name, (kind, params) in _FILTER_CONFIGS.items():
         q[f"member_{name}"] = _member_query(kind, params)
     return q
+
+
+def _sql_inlist(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _sql_text_oracles() -> dict[str, str]:
+    """SQL twins of quality_scores / LangId / hash_sample, generated from
+    the SAME constants the kernels use (_STOPWORDS, UNICODE_WS; DuckDB's
+    regexp engine is RE2, same as pyarrow's).  Every arithmetic step
+    mirrors the NumPy expression tree exactly (left-assoc sums, clip =
+    least(greatest(...)), integer-valued float sums), so float columns
+    hash-match bit-for-bit -- validated on adversarial rows (nulls, empty,
+    CJK, unicode-WS, ties) in tests/test_text_ann.py."""
+    from raysketch.text import _STOPWORDS, UNICODE_WS
+
+    # DuckDB '...' strings are escape-free, so the raw RE2 class passes
+    # through verbatim
+    ts = (f"list_filter(regexp_split_to_array(lower(coalesce(text, '')), "
+          f"'{UNICODE_WS}+'), x -> x <> '')")
+    all_stop = _sql_inlist(set().union(*_STOPWORDS.values()))
+    alpha_cls = "[^\\p{L}" + UNICODE_WS[1:-1] + "]"
+    quality = f"""
+        WITH m AS (
+          SELECT doc_id, coalesce(text, '') AS text, {ts} AS ts
+          FROM documents
+        ), a AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(ts) AS n_tokens,
+                 greatest(len(ts), 1) AS safe_tok,
+                 len(list_distinct(ts)) AS uniq,
+                 len(list_filter(ts, x -> x IN ({all_stop}))) AS n_stop,
+                 coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                     AS tok_len_sum,
+                 length(regexp_replace(text, '{alpha_cls}', '', 'g'))
+                     AS n_alpha
+          FROM m
+        )
+        SELECT doc_id, n_chars, n_tokens,
+          tok_len_sum::DOUBLE / safe_tok AS mean_token_len,
+          n_stop::DOUBLE / safe_tok AS stopword_ratio,
+          CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / greatest(n_chars, 1)
+               ELSE 0.0 END AS alpha_ratio,
+          CASE WHEN n_tokens > 0 THEN 1.0 - (uniq::DOUBLE / safe_tok)
+               ELSE 0.0 END AS repetition_ratio,
+          0.3 * least(greatest(n_tokens / 20.0, 0), 1)
+          + 0.3 * (CASE WHEN n_chars > 0
+                        THEN n_alpha::DOUBLE / greatest(n_chars, 1)
+                        ELSE 0.0 END)
+          + 0.2 * (1 - (CASE WHEN n_tokens > 0
+                             THEN 1.0 - (uniq::DOUBLE / safe_tok)
+                             ELSE 0.0 END))
+          + 0.2 * least(greatest((n_stop::DOUBLE / safe_tok) * 5, 0), 1)
+              AS quality_score
+        FROM a
+    """
+    h_exprs = ",\n                 ".join(
+        f"len(list_filter(ts, x -> x IN ({_sql_inlist(wset)}))) AS h_{lang}"
+        for lang, wset in _STOPWORDS.items())
+    langs = list(_STOPWORDS)            # tie order = kernel dict order
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = ("CASE WHEN is_zh THEN 'zh' " + " ".join(cases)
+                 + f" ELSE '{langs[-1]}' END")
+    langid = f"""
+        WITH m AS (
+          SELECT doc_id, coalesce(text, '') AS text, {ts} AS ts
+          FROM documents
+        ), a AS (
+          SELECT doc_id, len(ts) AS n_tokens,
+                 {h_exprs},
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text,
+                     '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+                 length(text) - length(replace(text, ' ', '')) AS n_spaces
+          FROM m
+        ), b AS (
+          SELECT *,
+            (n_chars > 0 AND
+             cjk::DOUBLE / greatest(1, n_chars - n_spaces) > 0.2) AS is_zh,
+            greatest({", ".join("h_" + lang for lang in langs)}) AS best_hits
+          FROM a
+        )
+        SELECT doc_id,
+          {lang_case} AS pred_lang,
+          CASE WHEN is_zh THEN least(1.0, cjk::DOUBLE / greatest(1, n_tokens))
+               ELSE best_hits::DOUBLE / greatest(1, n_tokens)
+               END AS confidence
+        FROM b
+    """
+    sample = (
+        f"SELECT url, lang FROM {PAGES_SQL} AS pages "
+        f"WHERE ('0x' || substr(md5(url), 1, 4))::INT < {int(0.05 * 65536)}")
+    return {"quality_scores_docs": quality, "langid_docs": langid,
+            "sample_pages_5pct": sample}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -987,4 +1116,5 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, rank, vec_id FROM r WHERE rank < 5
         """,
+        **_sql_text_oracles(),
     }

@@ -20,6 +20,18 @@ import sys
 import time
 
 
+def _calibrate() -> float:
+    """Single-thread fixed busy loop -- measures co-tenant CPU steal on
+    this shared VM.  Quiet reference ~0.35 s; readings of 1-2 s mean the
+    wall-clock numbers in the same window are 3-5x inflated
+    (BASELINE.md noise methodology)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -44,6 +56,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from raysketch.sketches import CmsSketch, HllSketch, KllSketch
     timings: dict[str, float] = {}
     stats: dict[str, float] = {}
+    calib_before = _calibrate()
 
     # warm the OS page cache + materialize the derived corpus once (untimed):
     # we measure compute+shuffle, not first disk read
@@ -53,9 +66,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # cluster scale) -- per-partition key count drives filter space
     # overhead, see choose_num_partitions
     P = choose_num_partitions(n_pages, target_keys=50_000)
+    # one block: from_items defaults to ~200 tiny blocks, which turns
+    # every 4096-row probe into 200 task dispatches
     absent = rd.from_items(
         [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
-         for i in range(4096)]).materialize()
+         for i in range(4096)]).repartition(1).materialize()
 
     # untimed warmup: spin up the worker pool / actor pools once so the
     # first timed query doesn't pay python-process cold start for
@@ -164,6 +179,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "n_lineitem_keys": n_li,
         "docs_per_sec_sbbf24": round(n_pages / build_probe_s, 1),
         "stats": stats,
+        # co-tenant CPU-steal annotation: quiet ~0.35 s (see _calibrate)
+        "calibration_sec": {"before": calib_before, "after": _calibrate(),
+                            "quiet_ref": 0.35},
     }
     ray.shutdown()
     return result

@@ -415,12 +415,20 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
 def _minhash_verified_pairs_ds(ds, text_col: str, id_col: str,
                                num_perm: int, bands: int, shingle_k: int,
                                threshold: float, concurrency: int,
-                               num_partitions: int, hot_cap: int):
+                               num_partitions: int, hot_cap: int,
+                               sigs=None, cand=None):
     """Verified near-dup pair Dataset (doc_a, doc_b, est_jaccard), fully
-    distributed, or None when there are no candidates."""
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
-                              concurrency).materialize()
-    cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
+    distributed, or None when there are no candidates.
+
+    `sigs`/`cand` accept precomputed (materialized) signature / candidate
+    Datasets from the SAME corpus and parameters -- the caller's
+    responsibility -- so several dedup operators over one corpus share
+    one signature+LSH pass instead of recomputing it."""
+    if sigs is None:
+        sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                                  concurrency).materialize()
+    if cand is None:
+        cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
     if cand.count() == 0:
         return None
     joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
@@ -442,17 +450,23 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 5,
                       threshold: float = 0.5, concurrency: int = 4,
                       num_partitions: int = 8,
-                      hot_cap: int = HOT_BUCKET_CAP):
+                      hot_cap: int = HOT_BUCKET_CAP,
+                      sigs=None, cand=None, pairs=None):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
 
     Candidates come from banded LSH; verification hash-joins the full
     signatures onto the pair rows (two partitioned inner joins) and
     compares them vectorized per batch -- no signature dict, no candidate
     materialization on the driver.  est_jaccard = fraction of equal
-    minhashes, which estimates shingle Jaccard within ~1/sqrt(num_perm)."""
-    out = _minhash_verified_pairs_ds(ds, text_col, id_col, num_perm, bands,
-                                     shingle_k, threshold, concurrency,
-                                     num_partitions, hot_cap)
+    minhashes, which estimates shingle Jaccard within ~1/sqrt(num_perm).
+
+    `sigs`/`cand`/`pairs` accept precomputed intermediates from the same
+    corpus+parameters (see _minhash_verified_pairs_ds); `pairs` short-
+    circuits straight to collection."""
+    out = pairs if pairs is not None else _minhash_verified_pairs_ds(
+        ds, text_col, id_col, num_perm, bands,
+        shingle_k, threshold, concurrency,
+        num_partitions, hot_cap, sigs=sigs, cand=cand)
     if out is None:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
@@ -464,7 +478,7 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
                   bands: int = 32, shingle_k: int = 5,
                   threshold: float = 0.5, concurrency: int = 4,
                   num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP,
-                  max_iters: int = 8):
+                  max_iters: int = 8, sigs=None, cand=None, pairs=None):
     """NEAR-duplicate dedup: keep one representative (the min id) per
     connected component of the verified near-dup pair graph.
 
@@ -479,16 +493,20 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
     neighbor messages set to +inf), so the probe is overflow-free for
     arbitrary sparse 64-bit ids -- unlike a label-sum probe, which can
     alias at >=1e9 sparse ids.  Survivors are selected with a left-anti
-    join of the loser ids -- no driver-side cluster state at any point."""
+    join of the loser ids -- no driver-side cluster state at any point.
+
+    `sigs`/`cand`/`pairs` accept precomputed intermediates from the same
+    corpus+parameters (see _minhash_verified_pairs_ds); `pairs` is the
+    verified pair Dataset itself (or None for no-candidates)."""
     import warnings
 
     from ray.data.aggregate import Min
 
     _I64_MAX = np.iinfo(np.int64).max
 
-    edges = _minhash_verified_pairs_ds(
+    edges = pairs if pairs is not None else _minhash_verified_pairs_ds(
         ds, text_col, id_col, num_perm, bands, shingle_k, threshold,
-        concurrency, num_partitions, hot_cap)
+        concurrency, num_partitions, hot_cap, sigs=sigs, cand=cand)
     if edges is None:
         return ds
     edges = _compact(edges.map_batches(
@@ -564,7 +582,8 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
                         threshold: float = 0.5, num_perm: int = 128,
                         bands: int = 32, concurrency: int = 4,
                         num_partitions: int = 8,
-                        hot_cap: int = HOT_BUCKET_CAP):
+                        hot_cap: int = HOT_BUCKET_CAP,
+                        sigs=None, cand=None):
     """Near-duplicate pairs by EXACT character-n-gram Jaccard similarity
     (doc_a < doc_b, jaccard >= threshold).
 
@@ -572,10 +591,15 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
     candidate docs (left-semi join restricts the corpus -- no broadcast id
     set), hash-joins the deduped shingle-hash blobs onto the pairs, and
     computes |A∩B|/|A∪B| per batch with one vectorized pandas merge over
-    all pairs in the batch (no per-pair python loop)."""
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
-                              concurrency).materialize()
-    cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
+    all pairs in the batch (no per-pair python loop).
+
+    `sigs`/`cand` accept precomputed intermediates from the same
+    corpus+parameters (see _minhash_verified_pairs_ds)."""
+    if sigs is None:
+        sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                                  concurrency).materialize()
+    if cand is None:
+        cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
     if cand.count() == 0:
         return _collect_pairs(cand, {"jaccard": "float64"})
     cand = _compact(cand, num_partitions).materialize()

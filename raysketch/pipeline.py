@@ -387,25 +387,38 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
     import ray
 
     if hasattr(filter_table, "map_batches"):
-        # size the dispatch WITHOUT pulling payloads to the driver
-        import pyarrow.compute as _pc
-        total_bytes = filter_table.map_batches(
-            lambda t: pa.table({"b": pa.array(
-                [int(_pc.sum(_pc.binary_length(t["payload"])).as_py() or 0)],
-                pa.int64())}),
-            batch_size=None, batch_format="pyarrow").sum("b") or 0
+        # single streaming pass sizes the dispatch AND collects the blobs:
+        # the driver accumulates payloads only up to max_broadcast_bytes
+        # (+1 payload) and bails to the colocated path the moment the
+        # budget is exceeded -- one Dataset execution instead of a
+        # separate sizing pipeline + to_pandas
+        blobs, num_partitions, total_bytes = {}, None, 0
+        for t in filter_table.iter_batches(batch_format="pyarrow"):
+            if t.num_rows == 0:     # aggregator empty blocks are schemaless
+                continue
+            num_partitions = num_partitions or int(
+                t["num_partitions"][0].as_py())
+            for pid, p in zip(t["partition_id"].to_pylist(),
+                              t["payload"].to_pylist()):
+                b = bytes(p)
+                total_bytes += len(b)
+                blobs[int(pid)] = b
+            if total_bytes > max_broadcast_bytes:
+                break
         if total_bytes > max_broadcast_bytes:
+            del blobs
             return probe_colocated(filter_table, ds, key_col, out_col, seed)
-        pdf = filter_table.to_pandas()
+        num_partitions = num_partitions or 1
     else:
         pdf = filter_table
         total_bytes = int(sum(len(p) for p in pdf["payload"])) \
             if len(pdf) else 0
         if total_bytes > max_broadcast_bytes:
             return probe_colocated(pdf, ds, key_col, out_col, seed)
-    blobs = {int(r["partition_id"]): bytes(r["payload"])
-             for _, r in pdf.iterrows()}
-    num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
+        blobs = {int(r["partition_id"]): bytes(r["payload"])
+                 for _, r in pdf.iterrows()}
+        num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) \
+            else 1
     ref = ray.put(blobs)
     if use_actors:
         return ds.map_batches(
@@ -760,6 +773,37 @@ def distinct_keys(ds, key_col: str):
               .select_columns([key_col]))
 
 
+def hash_sample(ds, key_col: str, rate: float, kernel: str = "gxh64"):
+    """Deterministic hash-threshold row sample: keep a row iff the key's
+    16-bit hash slice < floor(rate * 2^16).  Reproducible across engines,
+    runs, partitionings and cluster sizes (unlike seeded random_sample,
+    whose draws depend on block boundaries), and keeps all rows sharing a
+    key together -- the property a resumable 100-TB pipeline needs.
+
+    kernel='gxh64' (default): vectorized native/NumPy string hash, top 16
+    bits.  kernel='md5': first two digest bytes big-endian -- md5 is a
+    per-string C primitive (no vectorized form exists; ~2.5M keys/s/core,
+    the same order as the NumPy hash path) chosen because any other engine
+    can reproduce the selection; DuckDB:
+    ``('0x' || substr(md5(key), 1, 4))::INT < floor(rate * 65536)``."""
+    thresh = int(rate * 65536)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = pc.fill_null(batch[key_col], "")
+        if kernel == "md5":
+            import hashlib
+            buf = b"".join(hashlib.md5(v.encode()).digest()[:2]
+                           for v in col.to_pylist())
+            h16 = np.frombuffer(buf, dtype=">u2").astype(np.int64)
+        else:
+            from .hashing import hash_strings
+            h16 = (hash_strings(col) >> np.uint64(48)).astype(np.int64)
+        return batch.filter(pa.array(h16 < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def exact_quantiles_via_counts(ds, value_fn, qs: list[float],
                                value_name: str = "v"):
     """EXACT distributed quantiles through a value-counts histogram:
@@ -869,7 +913,8 @@ def exact_grouped_quantiles(ds, key_fn, value_fn, qs: list[float],
 def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
                            num_partitions: int = 2,
                            kind: str = "xorf", params: dict | None = None,
-                           join_partitions: int = 8):
+                           join_partitions: int = 8,
+                           max_broadcast_bytes: int = 128 << 20):
     """Filter-and-verify semi-join: the reference's production use-case
     (a compact build-side summary prunes the probe side; false positives
     are resolved by an exact check -- README.md:54 cost model).
@@ -877,12 +922,14 @@ def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
     Stage 1 (no shuffle): the filter table is broadcast and each probe
     batch drops every key the filter rejects -- at the reference's FPR
     targets this removes ~all non-members, so only true members plus a
-    ~2^-16 sliver of false positives continue.  Stage 2 (exact): the
-    surviving candidates are verified with a hash-partitioned left-semi
-    join against the distinct build keys.  The build side is never
-    collected or broadcast as raw keys -- only its ~2 bytes/key filter is
-    -- so a build side of 10^10 keys costs one partitioned join over the
-    (tiny) candidate set instead of driver memory.  Result is EXACT."""
+    ~2^-16 sliver of false positives continue.  Stage 2 (exact), sized
+    like probe()'s broadcast-vs-colocated dispatch: a build side whose
+    materialized bytes fit `max_broadcast_bytes` broadcasts its distinct
+    keys once (`ray.put`; per-batch vectorized `is_in`, no shuffle, no
+    join actor pools); a larger one is verified with a hash-partitioned
+    left-semi join, so a build side of 10^10 keys costs one partitioned
+    join over the (tiny) candidate set instead of driver memory.  Result
+    is EXACT either way."""
     import ray
 
     from .dedup import _compact, _join
@@ -905,6 +952,30 @@ def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
         return batch.filter(pa.array(maybe))
 
     cand = ds.map_batches(prune, batch_format="pyarrow")
+
+    if build_ds.size_bytes() <= max_broadcast_bytes:
+        import pyarrow.compute as pc
+
+        chunks = []
+        for b in build_ds.iter_batches(batch_format="pyarrow"):
+            col = b[build_key_col]
+            chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray)
+                          else [col])
+        if not chunks:       # empty build side: nothing can match
+            return cand.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+        keys = pc.unique(pa.chunked_array(chunks))
+        keys_ref = ray.put(keys)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            vs = ray.get(keys_ref)   # plasma shared-memory read, zero-copy
+            mask = pc.fill_null(pc.is_in(batch[key_col], value_set=vs),
+                                False)
+            return batch.filter(mask)
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
     build_keys = _compact(distinct_keys(build_ds, build_key_col),
                           join_partitions)
     return _join(cand, build_keys, "left_semi", join_partitions,

@@ -234,6 +234,29 @@ def test_semijoin_filter_verify_distributed_large_build(ray_session):
     probe_keys = np.arange(0, 60_000, dtype=np.int64)
     probe = rd.from_items([{"pkey": int(k)} for k in probe_keys])
     out = semijoin_filter_verify(probe, "pkey", build, "bkey",
-                                 num_partitions=4).to_pandas()
+                                 num_partitions=4,
+                                 max_broadcast_bytes=0).to_pandas()
     want = {k for k in probe_keys if k % 3 == 0 and k < 150_000}
     assert set(out["pkey"]) == want
+
+
+def test_semijoin_filter_verify_broadcast_matches_join(ray_session):
+    """Size-based dispatch: the small-build-side broadcast `is_in` verify
+    and the partitioned left-semi join return identical key sets."""
+    import numpy as np
+    import ray.data as rd
+
+    from raysketch.pipeline import semijoin_filter_verify
+
+    build = rd.range(5_000).map_batches(
+        lambda b: {"bkey": b["id"] * 7}, batch_format="numpy")
+    probe_keys = np.arange(0, 40_000, dtype=np.int64)
+    probe = rd.from_items([{"pkey": int(k)} for k in probe_keys])
+    want = {k for k in probe_keys if k % 7 == 0 and k < 35_000}
+    via_bc = semijoin_filter_verify(probe, "pkey", build, "bkey",
+                                    num_partitions=2).to_pandas()
+    via_join = semijoin_filter_verify(probe, "pkey", build, "bkey",
+                                      num_partitions=2,
+                                      max_broadcast_bytes=0).to_pandas()
+    assert set(via_bc["pkey"]) == want
+    assert set(via_join["pkey"]) == want

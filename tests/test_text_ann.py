@@ -383,3 +383,97 @@ def test_ivf_index_resume_skips_existing_buckets(ray_session, tmp_path):
     out = ivf_search(index, vecs[:2], k=3, nprobe=4)
     # with nprobe = all buckets the top hit for an indexed vector is itself
     assert (out[out["rank"] == 0]["vec_id"].values == [0, 1]).all()
+
+
+def _adversarial_docs():
+    import pyarrow as pa
+    return pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([
+            None, "", "   ", "the the the", "der und ist le la el es",
+            "你好世界" * 5,
+            "mix 中文 and english the of",
+            "UPPER THE AND OF case", "a b c\x1d d", "le la les et est",
+        ]),
+    })
+
+
+def _oracle_frame(sql: str, docs_table):
+    """Run one of the driver's text-oracle SQL strings over an in-memory
+    documents table."""
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", docs_table)
+    return con.sql(sql).df()
+
+
+def test_quality_scores_oracle_exact_on_adversarial_rows():
+    """The driver's quality_scores SQL twin matches the kernel EXACTLY
+    (bit-for-bit floats) on nulls, empty/whitespace-only text, CJK,
+    unicode whitespace, and repeated tokens -- the inputs most likely to
+    skew ratio arithmetic between NumPy and DuckDB."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    from raysketch.text import quality_scores
+
+    t = _adversarial_docs()
+    got = quality_scores(t).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = _oracle_frame(
+        entry._sql_text_oracles()["quality_scores_docs"],
+        t).sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == [
+        "doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
+        "alpha_ratio", "repetition_ratio", "quality_score"]
+    for c in got.columns:
+        assert got[c].dtype == want[c].dtype, c
+        assert np.array_equal(got[c].values, want[c].values), c
+
+
+def test_langid_oracle_exact_on_adversarial_rows():
+    """LangId SQL twin: stopword-argmax tie order (en,de,fr,es), the CJK
+    override branch, and the float confidence all match bit-for-bit."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    from raysketch.text import LangId
+
+    t = _adversarial_docs()
+    got = LangId()(t).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = _oracle_frame(
+        entry._sql_text_oracles()["langid_docs"],
+        t).sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[5, "pred_lang"] == "zh"      # the override fired
+    for c in got.columns:
+        assert np.array_equal(got[c].values, want[c].values), c
+
+
+def test_hash_sample_deterministic_and_md5_matches_duckdb(ray_session):
+    """hash_sample: (1) same selection on every run and partitioning; (2)
+    the md5 kernel reproduces DuckDB's ('0x'||substr(md5(k),1,4))::INT
+    threshold test; (3) observed rate is near the target."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysketch.pipeline import hash_sample
+
+    keys = [f"https://h{i % 97}.example.com/p/{i}" for i in range(20_000)]
+    ds = rd.from_arrow(pa.table({"url": pa.array(keys)}))
+    for kernel in ("gxh64", "md5"):
+        a = set(hash_sample(ds, "url", 0.05, kernel=kernel)
+                .to_pandas()["url"])
+        b = set(hash_sample(ds.repartition(7), "url", 0.05, kernel=kernel)
+                .to_pandas()["url"])
+        assert a == b, kernel
+        assert 0.03 < len(a) / len(keys) < 0.07, kernel
+    con = duckdb.connect()
+    con.register("t", pa.table({"url": pa.array(keys)}))
+    want = set(con.sql(
+        "SELECT url FROM t WHERE ('0x' || substr(md5(url), 1, 4))::INT"
+        f" < {int(0.05 * 65536)}").df()["url"])
+    got = set(hash_sample(ds, "url", 0.05, kernel="md5")
+              .to_pandas()["url"])
+    assert got == want
