@@ -205,6 +205,116 @@ void gxh64_bytes(const int64_t *offsets, const uint8_t *data, int64_t n,
     }
 }
 
+/* ---------------- membership checks ----------------------------------
+ * Native probe kernels for xorf + ribbon (sbbf_check above).  The probe
+ * stage splits each Arrow batch by filter partition, so the per-call key
+ * count is small (batch/num_partitions); NumPy's fixed per-kernel-launch
+ * cost dominates there (~30 launches per check), while one C call is
+ * ~1 us.  Bit-identical to XorFilter.check / RibbonFilter.check. */
+
+static inline uint64_t murmur64a_one(uint64_t h, uint64_t seed)
+{
+    /* MurmurHash64A of one u64 (hashing.py:murmur64a_u64) */
+    const uint64_t M = 0xC6A4A7935BD1E995ull;
+    uint64_t acc = seed ^ (8ull * M);
+    uint64_t k = h * M;
+    k ^= k >> 47; k *= M;
+    acc ^= k; acc *= M;
+    acc ^= acc >> 47; acc *= M;
+    acc ^= acc >> 47;
+    return acc;
+}
+
+void xorf_check(const uint64_t *hashes, int64_t n, uint64_t seed,
+                uint32_t segment_length, uint32_t segment_count_length,
+                int arity, int fp_bits, const void *fps, uint8_t *out)
+{
+    /* mirrors xorf.py:_make_subhashes (incl. the documented _HL_MIX
+     * deviation) + _fingerprint + XorFilter.check */
+    const uint64_t HL_MIX = 0xBF58476D1CE4E5B9ull;
+    const uint32_t seg_mask = segment_length - 1u;
+    const int rot_step = 64 / arity;
+    const uint32_t fp_mask = fp_bits >= 32 ? 0xFFFFFFFFu
+                                           : ((1u << fp_bits) - 1u);
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = murmur64a_one(hashes[i], seed);
+        uint64_t hmix = (h * HL_MIX) >> 32;
+        uint32_t hl = (uint32_t)(((uint64_t)segment_count_length *
+                                  (hmix & 0xFFFFFFFFull)) >> 32);
+        uint32_t f = (uint32_t)(h ^ (h >> 32)) & fp_mask;
+        for (int a = 0; a < arity; a++) {
+            int rot = (a * rot_step) % 64;
+            uint64_t rotated = rot ? ((h << rot) | (h >> (64 - rot))) : h;
+            uint32_t p = (hl + (uint32_t)a * segment_length)
+                         ^ ((uint32_t)rotated & seg_mask);
+            if (fp_bits == 8)       f ^= ((const uint8_t *)fps)[p];
+            else if (fp_bits == 16) f ^= ((const uint16_t *)fps)[p];
+            else                    f ^= ((const uint32_t *)fps)[p];
+        }
+        out[i] = (uint8_t)(f == 0);
+    }
+}
+
+void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
+                  int coeff_bits, int result_bits, const void *sol,
+                  int64_t size, uint8_t *out)
+{
+    /* mirrors RibbonFilter.check: _remix -> _start_pos_np ->
+     * _coeff_rows_np -> banded dot-product vs _result_rows_np.  The
+     * NumPy path zero-pads the solution by coeff_bits; here out-of-range
+     * rows are skipped (same effect). */
+    const uint64_t F0 = 0x876F170BE4F1FCB9ull;  /* src/ribbon.zig:19 */
+    const uint64_t F1 = 0xF0433A4AECDA4C5Full;  /* src/ribbon.zig:20 */
+    const int64_t start_range = size + 1 - coeff_bits;
+    const int w8 = coeff_bits / 8;
+    const uint64_t maxpos = start_range > 0 ? (uint64_t)(start_range - 1)
+                                            : 0;
+    const uint32_t res_mask = result_bits >= 32 ? 0xFFFFFFFFu
+                                                : ((1u << result_bits) - 1u);
+    const int nbits = coeff_bits < 64 ? coeff_bits : 64;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t mixed = murmur64a_one(hashes[i], seed);
+        uint64_t hash0 = mixed ^ seed;
+        uint64_t h32 = (hash0 ^ (hash0 >> 32)) & 0xFFFFFFFFull;
+        uint64_t smash = ((uint64_t)(start_range + 2 * w8) * h32) >> 32;
+        uint64_t pos = smash >= (uint64_t)w8 ? smash - (uint64_t)w8 : 0;
+        if (pos > maxpos) pos = maxpos;
+        uint64_t lo, hi = 0;
+        if (coeff_bits == 64) {
+            lo = (seed ^ mixed) | 1ull;
+        } else if (coeff_bits == 32) {
+            lo = ((seed ^ mixed) | 1ull) & 0xFFFFFFFFull;
+        } else {
+            hi = (seed * F0) ^ mixed;
+            lo = ((seed * F1) ^ __builtin_bswap64(mixed)) | 1ull;
+        }
+        uint32_t expected = (uint32_t)((hash0 >> 32) ^ hash0) & res_mask;
+        uint32_t acc = 0;
+        for (int j = 0; j < nbits; j++) {
+            if (!((lo >> j) & 1ull)) continue;
+            int64_t idx = (int64_t)pos + j;
+            if (idx >= size) continue;
+            if (result_bits == 8)       acc ^= ((const uint8_t *)sol)[idx];
+            else if (result_bits == 16) acc ^= ((const uint16_t *)sol)[idx];
+            else                        acc ^= ((const uint32_t *)sol)[idx];
+        }
+        if (coeff_bits == 128) {
+            for (int j = 0; j < 64; j++) {
+                if (!((hi >> j) & 1ull)) continue;
+                int64_t idx = (int64_t)pos + 64 + j;
+                if (idx >= size) continue;
+                if (result_bits == 8)
+                    acc ^= ((const uint8_t *)sol)[idx];
+                else if (result_bits == 16)
+                    acc ^= ((const uint16_t *)sol)[idx];
+                else
+                    acc ^= ((const uint32_t *)sol)[idx];
+            }
+        }
+        out[i] = (uint8_t)(acc == expected);
+    }
+}
+
 /* ---------------- xorf: peeling construction ---------------------------
  * Queue-based peel (the reference's one-cell-at-a-time loop,
  * src/xorf.zig:111-220) over precomputed probe positions `sub`

@@ -421,6 +421,17 @@ class RibbonFilter(Sketch):
         if size == 0:
             return np.zeros(nq, dtype=bool)
         cb = self.coeff_bits
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            # bit-identical C probe (tests/test_native.py); one call per
+            # partition slice beats ~30 NumPy launches on small slices
+            h64 = np.ascontiguousarray(hashes)
+            sol = np.ascontiguousarray(self.solution)
+            out = np.empty(nq, dtype=np.uint8)
+            lib.ribbon_check(h64, nq, int(self.seed), cb,
+                             self.result_bits, sol.ctypes.data, size, out)
+            return out.view(bool)
         start_range = size + 1 - cb
         mixed = _remix(hashes, self.seed)
         pos = _start_pos_np(self.seed, start_range, mixed, cb)

@@ -252,10 +252,27 @@ class XorFilter(Sketch):
         return cls(header, fps, arity, fp_bits, num_keys=len(hashes))
 
     def check(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized src/xorf.zig:42-50."""
+        """Vectorized src/xorf.zig:42-50.
+
+        Native path (bit-identical, pinned by tests/test_native.py):
+        probe batches split per filter partition, so per-call key counts
+        are small and NumPy's fixed kernel-launch overhead dominates --
+        one C call removes it."""
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            h64 = np.ascontiguousarray(hashes)
+            fps = np.ascontiguousarray(self.fingerprints)
+            out = np.empty(len(h64), dtype=np.uint8)
+            lib.xorf_check(h64, len(h64), int(self.header["seed"]),
+                           int(self.header["segment_length"]),
+                           int(self.header["segment_count_length"]),
+                           self.arity, self.fp_bits,
+                           fps.ctypes.data, out)
+            return out.view(bool)
         h = murmur64a_u64(hashes, self.header["seed"])
         sub = _make_subhashes(self.arity, self.header, h)
         f = _fingerprint(h, self.fp_bits)

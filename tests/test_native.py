@@ -147,6 +147,24 @@ def test_ribbon_native_elimination_solves_numpy_equations(numpy_only,
     assert f.check(keys).all()
 
 
+@pytest.mark.parametrize("coeff_bits,result_bits",
+                         [(32, 8), (64, 16), (128, 16), (128, 32)])
+def test_ribbon_check_bit_identical(coeff_bits, result_bits, monkeypatch,
+                                    numpy_only):
+    """Native probe must match the NumPy probe on every key — members
+    (zero FN) AND absent keys (identical false-positive pattern)."""
+    keys = _keys(20_000, seed=coeff_bits * 5 + result_bits)
+    seed, sol = ribbon.construct(keys, coeff_bits, result_bits)
+    f = ribbon.RibbonFilter(seed, sol, coeff_bits, result_bits,
+                            num_keys=len(keys))
+    probe = np.concatenate([keys[:2000], _keys(8192, seed=13)])
+    r_np = f.check(probe)
+    monkeypatch.setattr(native, "_LIB", lib)
+    r_c = f.check(probe)
+    assert np.array_equal(r_c, r_np)
+    assert r_c[:2000].all()
+
+
 # ---------------------------------------------------------------- xorf
 @pytest.mark.parametrize("arity,fp_bits", [(3, 8), (3, 16), (4, 16), (3, 32)])
 def test_xorf_native_same_seed_zero_fn(arity, fp_bits, monkeypatch,
@@ -166,3 +184,18 @@ def test_xorf_native_same_seed_zero_fn(arity, fp_bits, monkeypatch,
         assert f.check(keys).all(), tag   # zero false negatives
         fpr = f.check(_keys(4096, seed=5)).mean()
         assert fpr <= arity * max(2.0 ** -fp_bits, 1e-6) + 0.002, tag
+
+
+@pytest.mark.parametrize("arity,fp_bits", [(3, 8), (3, 16), (4, 16), (3, 32)])
+def test_xorf_check_bit_identical(arity, fp_bits, monkeypatch, numpy_only):
+    """Native probe must match the NumPy probe on every key — members
+    (zero FN) AND absent keys (identical false-positive pattern)."""
+    keys = _keys(20_000, seed=arity * 31 + fp_bits)
+    hdr, fp = xorf.construct(keys, arity, fp_bits)
+    f = xorf.XorFilter(hdr, fp, arity, fp_bits, num_keys=len(keys))
+    probe = np.concatenate([keys[:2000], _keys(8192, seed=17)])
+    r_np = f.check(probe)
+    monkeypatch.setattr(native, "_LIB", lib)
+    r_c = f.check(probe)
+    assert np.array_equal(r_c, r_np)
+    assert r_c[:2000].all()
