@@ -255,14 +255,39 @@ void xorf_check(const uint64_t *hashes, int64_t n, uint64_t seed,
     }
 }
 
+/* Branchless banded XOR-fold: per-bit mask instead of a (random,
+ * 50/50-mispredicted) branch per coefficient bit -- the mispredicts were
+ * the whole cost at ~3.6M keys/s.  Callers guarantee size >= coeff_bits
+ * (ribbon.py falls back to NumPy otherwise), which makes every access
+ * pos+j < size in-range: pos <= start_range-1 = size-coeff_bits. */
+#define RIBBON_FOLD(T)                                                  \
+static inline uint32_t ribbon_fold_##T(const T *sol, uint64_t pos,      \
+                                       uint64_t lo, uint64_t hi,        \
+                                       int nbits, int use_hi)           \
+{                                                                       \
+    uint32_t acc = 0;                                                   \
+    for (int j = 0; j < nbits; j++) {                                   \
+        T m = (T)((T)0 - (T)((lo >> j) & 1ull));                        \
+        acc ^= (uint32_t)(sol[pos + j] & m);                            \
+    }                                                                   \
+    if (use_hi)                                                         \
+        for (int j = 0; j < 64; j++) {                                  \
+            T m = (T)((T)0 - (T)((hi >> j) & 1ull));                    \
+            acc ^= (uint32_t)(sol[pos + 64 + j] & m);                   \
+        }                                                               \
+    return acc;                                                         \
+}
+RIBBON_FOLD(uint8_t)
+RIBBON_FOLD(uint16_t)
+RIBBON_FOLD(uint32_t)
+
 void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
                   int coeff_bits, int result_bits, const void *sol,
                   int64_t size, uint8_t *out)
 {
     /* mirrors RibbonFilter.check: _remix -> _start_pos_np ->
-     * _coeff_rows_np -> banded dot-product vs _result_rows_np.  The
-     * NumPy path zero-pads the solution by coeff_bits; here out-of-range
-     * rows are skipped (same effect). */
+     * _coeff_rows_np -> banded dot-product vs _result_rows_np.
+     * REQUIRES size >= coeff_bits (see RIBBON_FOLD). */
     const uint64_t F0 = 0x876F170BE4F1FCB9ull;  /* src/ribbon.zig:19 */
     const uint64_t F1 = 0xF0433A4AECDA4C5Full;  /* src/ribbon.zig:20 */
     const int64_t start_range = size + 1 - coeff_bits;
@@ -272,6 +297,7 @@ void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
     const uint32_t res_mask = result_bits >= 32 ? 0xFFFFFFFFu
                                                 : ((1u << result_bits) - 1u);
     const int nbits = coeff_bits < 64 ? coeff_bits : 64;
+    const int use_hi = coeff_bits == 128;
     for (int64_t i = 0; i < n; i++) {
         uint64_t mixed = murmur64a_one(hashes[i], seed);
         uint64_t hash0 = mixed ^ seed;
@@ -289,29 +315,17 @@ void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
             lo = ((seed * F1) ^ __builtin_bswap64(mixed)) | 1ull;
         }
         uint32_t expected = (uint32_t)((hash0 >> 32) ^ hash0) & res_mask;
-        uint32_t acc = 0;
-        for (int j = 0; j < nbits; j++) {
-            if (!((lo >> j) & 1ull)) continue;
-            int64_t idx = (int64_t)pos + j;
-            if (idx >= size) continue;
-            if (result_bits == 8)       acc ^= ((const uint8_t *)sol)[idx];
-            else if (result_bits == 16) acc ^= ((const uint16_t *)sol)[idx];
-            else                        acc ^= ((const uint32_t *)sol)[idx];
-        }
-        if (coeff_bits == 128) {
-            for (int j = 0; j < 64; j++) {
-                if (!((hi >> j) & 1ull)) continue;
-                int64_t idx = (int64_t)pos + 64 + j;
-                if (idx >= size) continue;
-                if (result_bits == 8)
-                    acc ^= ((const uint8_t *)sol)[idx];
-                else if (result_bits == 16)
-                    acc ^= ((const uint16_t *)sol)[idx];
-                else
-                    acc ^= ((const uint32_t *)sol)[idx];
-            }
-        }
-        out[i] = (uint8_t)(acc == expected);
+        uint32_t acc;
+        if (result_bits == 8)
+            acc = ribbon_fold_uint8_t((const uint8_t *)sol, pos, lo, hi,
+                                      nbits, use_hi);
+        else if (result_bits == 16)
+            acc = ribbon_fold_uint16_t((const uint16_t *)sol, pos, lo, hi,
+                                       nbits, use_hi);
+        else
+            acc = ribbon_fold_uint32_t((const uint32_t *)sol, pos, lo, hi,
+                                       nbits, use_hi);
+        out[i] = (uint8_t)((acc & res_mask) == expected);
     }
 }
 

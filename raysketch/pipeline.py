@@ -207,12 +207,24 @@ def load_filters(filter_table) -> dict[int, object]:
 # startup on every map_batches call (measured 3-8x faster at small scale;
 # identical shape at cluster scale -- the ray.put blob ships to each node
 # once and every task on that node reuses the decoded filters).
+#
+# MAX is 1 (clear-on-miss), not an LRU depth: holding several decoded
+# broadcast sets (~40 MB each of small numpy arrays) in a long-lived
+# worker heap measurably degrades ALL subsequent compute in that worker
+# -- a fixed numpy busy-loop went 6 ms -> 117 ms and probe wall time
+# 1.7 s -> 15 s by the 4th consecutive probe (allocator fragmentation;
+# reproduced only when multiple sets are retained, flat for 5+ probes
+# with clear-on-miss).  A worker serves one broadcast table at a time in
+# every production pipeline; switching tables costs one ~0.3 s decode.
 _FILTER_CACHE: dict[str, dict[int, object]] = {}
-_FILTER_CACHE_MAX = 8
+_FILTER_CACHE_MAX = 1
 
 # Same idea for SINGLE partition payloads on the colocated probe path.
+# Within one colocated probe a worker's shards cover DISJOINT pid sets,
+# so depth only helps repeated probes of the same table; keep it shallow
+# for the same heap-degradation reason as above.
 _SINGLE_FILTER_CACHE: dict[str, object] = {}
-_SINGLE_FILTER_CACHE_MAX = 64
+_SINGLE_FILTER_CACHE_MAX = 16
 
 
 def _cached_single_filter(ref):
@@ -234,7 +246,7 @@ def _cached_filters(blobs_ref) -> dict[int, object]:
     if filters is None:
         filters = {pid: sketch_from_bytes(b)
                    for pid, b in ray.get(blobs_ref).items()}
-        if len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+        while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
             _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
         _FILTER_CACHE[key] = filters
     return filters
@@ -291,6 +303,9 @@ def _payload_refs(filter_table):
     import ray
 
     if hasattr(filter_table, "to_arrow_refs"):
+        memo = getattr(filter_table, "_raysketch_payload_refs", None)
+        if memo is not None:
+            return memo
         out, num_partitions = {}, None
         for block_ref in filter_table.to_arrow_refs():
             tbl = ray.get(block_ref)
@@ -302,6 +317,7 @@ def _payload_refs(filter_table):
             num_partitions = num_partitions or int(
                 tbl["num_partitions"][0].as_py())
             del tbl
+        filter_table._raysketch_payload_refs = (out, num_partitions or 1)
         return out, (num_partitions or 1)
     # pandas path (already driver-resident, i.e. small)
     pdf = filter_table
@@ -387,6 +403,16 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
     import ray
 
     if hasattr(filter_table, "map_batches"):
+        # Repeat probes of the same table (present keys, then absent keys;
+        # a verify pass) must share ONE ray.put ref: besides skipping the
+        # driver-side collection, a shared ref is what lets the per-worker
+        # decode cache hit instead of re-decoding -- and re-decoding under
+        # clear-on-miss is what the _FILTER_CACHE comment above prices.
+        memo = getattr(filter_table, "_raysketch_broadcast", None)
+        if memo is not None:
+            ref, num_partitions = memo
+            return _probe_broadcast(ds, ref, key_col, num_partitions, seed,
+                                    out_col, concurrency, use_actors)
         # single streaming pass sizes the dispatch AND collects the blobs:
         # the driver accumulates payloads only up to max_broadcast_bytes
         # (+1 payload) and bails to the colocated path the moment the
@@ -420,18 +446,28 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) \
             else 1
     ref = ray.put(blobs)
-    if use_actors:
-        return ds.map_batches(
-            Prober, batch_format="pyarrow",
-            fn_constructor_args=(ref, key_col, num_partitions, seed, out_col),
-            concurrency=pool(concurrency or 4))
+    if hasattr(filter_table, "map_batches"):
+        # remember the broadcast for repeat probes of this table (plain
+        # attribute: lives and dies with the Dataset object; pandas
+        # tables warn on attribute assignment, so Datasets only)
+        filter_table._raysketch_broadcast = (ref, num_partitions)
+    return _probe_broadcast(ds, ref, key_col, num_partitions, seed,
+                            out_col, concurrency, use_actors)
 
+
+def _probe_broadcast(ds, ref, key_col, num_partitions, seed, out_col,
+                     concurrency, use_actors):
     def probe_task(batch: pa.Table) -> pa.Table:
         filters = _cached_filters(ref)
         h = hash_column(batch[key_col], seed)
         hit = _probe_batch(filters, h, num_partitions)
         return batch.append_column(out_col, pa.array(hit))
 
+    if use_actors:
+        return ds.map_batches(
+            Prober, batch_format="pyarrow",
+            fn_constructor_args=(ref, key_col, num_partitions, seed, out_col),
+            concurrency=pool(concurrency or 4))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(probe_task, batch_format="pyarrow", **kwargs)
 

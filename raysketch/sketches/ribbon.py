@@ -423,9 +423,11 @@ class RibbonFilter(Sketch):
         cb = self.coeff_bits
         from ..native import get_lib
         lib = get_lib()
-        if lib is not None:
+        if lib is not None and size >= cb:
             # bit-identical C probe (tests/test_native.py); one call per
-            # partition slice beats ~30 NumPy launches on small slices
+            # partition slice beats ~30 NumPy launches on small slices.
+            # size >= cb makes every banded access in-range (the C fold
+            # is branchless and does not bounds-check).
             h64 = np.ascontiguousarray(hashes)
             sol = np.ascontiguousarray(self.solution)
             out = np.empty(nq, dtype=np.uint8)
