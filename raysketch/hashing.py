@@ -237,7 +237,17 @@ def hash_ints(col, seed: int = DEFAULT_SEED) -> np.ndarray:
 def hash_column(col, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Dispatch: string/binary -> gxh64, integer -> murmur64a."""
     if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+        # hash per chunk instead of combine_chunks: combining copies the
+        # full string buffers (~50 B/row) to produce the same per-element
+        # hashes (8 B/row) -- on a multi-GB corpus pass that copy
+        # dominated the hash stage
+        if col.num_chunks == 1:
+            col = col.chunk(0)
+        elif col.num_chunks == 0:
+            return np.zeros(0, dtype=np.uint64)
+        else:
+            return np.concatenate([hash_column(c, seed)
+                                   for c in col.chunks])
     if isinstance(col, pa.Array):
         t = col.type
         if (pa.types.is_string(t) or pa.types.is_large_string(t)

@@ -86,7 +86,8 @@ def hashed_keys(ds, key_col: str, num_partitions: int, seed: int = 0):
 
 
 def _build_one(kind: str, params: dict, hashes: np.ndarray,
-               pid: int, num_partitions: int) -> dict:
+               pid: int, num_partitions: int,
+               self_check: bool = False) -> dict:
     t0 = time.perf_counter()
     uniq = np.unique(np.asarray(hashes, dtype=U64))  # sort+dedup contract,
     # reference src/bench.zig:258-280 (xorf/ribbon hard-require it)
@@ -101,6 +102,15 @@ def _build_one(kind: str, params: dict, hashes: np.ndarray,
         f = cls.build(uniq, **{k: v for k, v in params.items()
                                if k != "num_blocks"})
     build_s = time.perf_counter() - t0
+    if self_check and len(uniq):
+        # in-task zero-false-negative verification: runs where the
+        # filter was built, touching no driver state and shipping no
+        # payload anywhere (the fully-distributed verify used by the
+        # scaling bench; mirrors the reference's construct-then-query
+        # loop, src/bench.zig:228-233)
+        if not f.check(uniq).all():
+            raise AssertionError(
+                f"false negatives in freshly built {kind} partition {pid}")
     return {
         "partition_id": int(pid), "kind": kind,
         "params": json.dumps(params, sort_keys=True),
@@ -120,8 +130,12 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
                        params: dict | None = None,
                        num_partitions: int = 16,
                        checkpoint_dir: str | None = None,
-                       seed: int = 0):
+                       seed: int = 0, self_check: bool = False):
     """Filter-table Dataset: one row per partition.
+
+    self_check=True re-probes each partition's own keys inside the build
+    task (zero-false-negative assert, fully distributed; does not alter
+    the built payload or the checkpoint identity).
 
     The groupby(pid) is the single all-to-all exchange, and it moves only
     12 bytes/row.  With a checkpoint_dir, already-built partitions are
@@ -177,7 +191,8 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         pid = int(group["pid"][0].as_py())
         h = np.asarray(group["h"], dtype=U64)
         return _rows_to_table([_build_one(kind, params, h, pid,
-                                          num_partitions)])
+                                          num_partitions,
+                                          self_check=self_check)])
 
     built = keys.groupby("pid").map_groups(build_group, batch_format="pyarrow")
     if checkpoint_dir:
@@ -187,6 +202,33 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
             built.write_parquet(parts_dir)
         return rd.read_parquet(parts_dir)
     return built
+
+
+def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
+                        seed: int = 0, self_check: bool = False):
+    """Several filter kinds for ONE hash+shuffle.
+
+    The reference bench builds four configs over the same corpus
+    (src/bench.zig:195-249); at cluster scale the (pid,h) exchange is
+    the expensive step, so sharing it builds every spec for one
+    shuffle's price.  Returns one filter-table Dataset with len(specs)
+    rows per partition; each row is byte-identical to what a separate
+    build_filter_table(kind, params) call produces (builds are
+    deterministic over the sorted unique hashes -- pytest-pinned).
+    Filter rows by 'kind'/'params' to split per spec."""
+    specs = [(kind, dict(params or {})) for kind, params in specs]
+    keys = hashed_keys(ds, key_col, num_partitions, seed)
+
+    def build_group(group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        h = np.asarray(group["h"], dtype=U64)
+        return _rows_to_table([
+            _build_one(kind, params, h, pid, num_partitions,
+                       self_check=self_check)
+            for kind, params in specs])
+
+    return keys.groupby("pid").map_groups(build_group,
+                                          batch_format="pyarrow")
 
 
 def load_filters(filter_table) -> dict[int, object]:
@@ -410,9 +452,12 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         # clear-on-miss is what the _FILTER_CACHE comment above prices.
         memo = getattr(filter_table, "_raysketch_broadcast", None)
         if memo is not None:
-            ref, num_partitions = memo
-            return _probe_broadcast(ds, ref, key_col, num_partitions, seed,
-                                    out_col, concurrency, use_actors)
+            ref, num_partitions, memo_bytes = memo
+            if memo_bytes <= max_broadcast_bytes:   # honor a tighter cap
+                return _probe_broadcast(ds, ref, key_col, num_partitions,
+                                        seed, out_col, concurrency,
+                                        use_actors)
+            return probe_colocated(filter_table, ds, key_col, out_col, seed)
         # single streaming pass sizes the dispatch AND collects the blobs:
         # the driver accumulates payloads only up to max_broadcast_bytes
         # (+1 payload) and bails to the colocated path the moment the
@@ -450,7 +495,8 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
         # remember the broadcast for repeat probes of this table (plain
         # attribute: lives and dies with the Dataset object; pandas
         # tables warn on attribute assignment, so Datasets only)
-        filter_table._raysketch_broadcast = (ref, num_partitions)
+        filter_table._raysketch_broadcast = (ref, num_partitions,
+                                             total_bytes)
     return _probe_broadcast(ds, ref, key_col, num_partitions, seed,
                             out_col, concurrency, use_actors)
 

@@ -190,3 +190,22 @@ def test_kernel_switch_and_envelope_guard():
     with pytest.raises(ValueError, match="hash kernel"):
         sketch_from_bytes(blob_xx)
     assert sketch_from_bytes(blob_gx).check(np.array([5], np.uint64))[0]
+
+
+def test_hash_column_chunked_matches_combined():
+    """The per-chunk fast path (no combine_chunks copy) must produce the
+    same hashes as hashing the combined array, for strings and ints,
+    including empty/degenerate chunkings."""
+    from raysketch.hashing import hash_column
+
+    strs = [f"https://h{i}.example.com/p/{i}" for i in range(1000)]
+    for pieces in ([strs], [strs[:1], strs[1:]],
+                   [strs[:300], [], strs[300:]], [[], []]):
+        ch = pa.chunked_array([pa.array(p, pa.string()) for p in pieces])
+        combined = ch.combine_chunks()
+        assert np.array_equal(hash_column(ch), hash_column(combined))
+
+    ints = list(range(999))
+    ch = pa.chunked_array([pa.array(ints[:100], pa.int64()),
+                           pa.array(ints[100:], pa.int64())])
+    assert np.array_equal(hash_column(ch), hash_column(ch.combine_chunks()))

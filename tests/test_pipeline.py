@@ -218,6 +218,58 @@ def test_probe_colocated_matches_broadcast(ray_session, pages):
     assert (bc["hit"] == small["hit"]).all()
 
 
+def test_probe_memoizes_broadcast_ref(ray_session, pages):
+    """Repeat probes of one filter table must share one ray.put ref (the
+    per-worker decode cache is clear-on-miss, so a fresh ref per probe
+    would re-decode every time -- and retained decoded sets measurably
+    degrade worker compute).  An explicitly tighter broadcast budget must
+    still be honored on a memo hit."""
+    import ray.data as rd
+    from raysketch.pipeline import build_filter_table, probe
+
+    ft = build_filter_table(pages, "url", "xorf",
+                           {"fp_bits": 16, "arity": 3},
+                           num_partitions=4).materialize()
+    absent = rd.from_items(
+        [{"url": f"https://nope-{i}.example.net/{i}"} for i in range(64)])
+
+    first = probe(ft, pages, "url")
+    memo = ft._raysketch_broadcast
+    assert memo is not None
+    second = probe(ft, absent, "url")
+    assert ft._raysketch_broadcast is memo    # no fresh collection/put
+    assert first.sum("hit") == pages.count()
+    assert (second.sum("hit") or 0) <= 2      # absent: at most FP noise
+
+    # memo hit + tighter cap: must fall through to the colocated path
+    # and still answer identically
+    small = (probe(ft, pages, "url", max_broadcast_bytes=1).to_pandas()
+             .sort_values("url").reset_index(drop=True))
+    assert small["hit"].all()
+
+
+def test_build_filter_tables_shared_shuffle_parity(ray_session, pages):
+    """build_filter_tables (several kinds, ONE hash+shuffle) must emit
+    rows byte-identical to separate build_filter_table calls -- builds
+    are deterministic over the sorted unique hashes."""
+    from raysketch.pipeline import build_filter_table, build_filter_tables
+
+    specs = [("ribbon", {"coeff_bits": 128, "result_bits": 16}),
+             ("xorf", {"fp_bits": 16, "arity": 4}),
+             ("sbbf", {"bits_per_key": 10})]
+    multi = (build_filter_tables(pages, "url", specs, num_partitions=4,
+                                 self_check=True)
+             .to_pandas().set_index(["kind", "partition_id"]))
+    assert len(multi) == 3 * 4
+    for kind, params in specs:
+        single = (build_filter_table(pages, "url", kind, params,
+                                     num_partitions=4)
+                  .to_pandas().set_index(["kind", "partition_id"]))
+        for pid in range(4):
+            assert bytes(multi.loc[(kind, pid)]["payload"]) == \
+                bytes(single.loc[(kind, pid)]["payload"]), (kind, pid)
+
+
 def test_semijoin_filter_verify_distributed_large_build(ray_session):
     """The exact-verify stage is a partitioned left-semi join, never a
     driver-side key broadcast: a multi-block 50k-key build side against a
