@@ -78,6 +78,23 @@ def _cached_ft(sf_dir: str, kind: str, params: dict,
     import json
     key = ("ft", sf_dir, kind, json.dumps(params, sort_keys=True),
            num_partitions)
+    if key not in _CACHE and num_partitions == 8 \
+            and (kind, params) in _FILTER_CONFIGS.values():
+        # first standard-config miss: build the WHOLE config set for one
+        # (pid,h) exchange (build_filter_tables; rows byte-identical to
+        # separate builds) and seed every config's cache slot -- the six
+        # member queries + fpr report then share one shuffle instead of
+        # paying six
+        from raysketch.pipeline import build_filter_tables
+        multi = build_filter_tables(
+            _cached_pages(sf_dir), "url",
+            list(_FILTER_CONFIGS.values()), num_partitions=8).materialize()
+        for k2, p2 in _FILTER_CONFIGS.values():
+            pj = json.dumps(p2, sort_keys=True)
+            sub = multi.filter(
+                lambda row, k3=k2, pj3=pj: row["kind"] == k3
+                and row["params"] == pj3)
+            _CACHE[("ft", sf_dir, k2, pj, 8)] = sub.materialize()
     return _cached(key, lambda: build_filter_table(
         _cached_pages(sf_dir), "url", kind, params,
         num_partitions=num_partitions).materialize())
