@@ -4,7 +4,8 @@ of the north rule:
     ray job submit --working-dir . -- python scripts/build_job.py \
         --input /data/pages/*.parquet --key-col url \
         --kind sbbf --params '{"bits_per_key": 10}' \
-        --checkpoint-dir /ckpt/run1 [--probe-self] [--num-partitions N]
+        --checkpoint-dir /ckpt/run1 [--probe-self] [--self-check] \
+        [--num-partitions N]
 
 Resumable: the checkpoint dir holds one Parquet row per built partition
 (payload + lineage metrics); a resubmitted job anti-joins finished
@@ -44,6 +45,10 @@ def main() -> int:
     ap.add_argument("--probe-self", action="store_true",
                     help="probe all input keys after build and assert zero "
                          "false negatives")
+    ap.add_argument("--self-check", action="store_true",
+                    help="re-probe each partition's own keys INSIDE the "
+                         "build task (distributed zero-FN verify; no "
+                         "driver state, no extra shuffle)")
     args = ap.parse_args()
 
     import ray
@@ -69,7 +74,8 @@ def main() -> int:
     t0 = time.perf_counter()
     ft = build_filter_table(ds, args.key_col, args.kind,
                             json.loads(args.params), num_partitions=P,
-                            checkpoint_dir=args.checkpoint_dir).materialize()
+                            checkpoint_dir=args.checkpoint_dir,
+                            self_check=args.self_check).materialize()
     build_s = time.perf_counter() - t0
     pdf = ft.to_pandas()
     report = {
