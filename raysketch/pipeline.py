@@ -250,16 +250,17 @@ def load_filters(filter_table) -> dict[int, object]:
 # identical shape at cluster scale -- the ray.put blob ships to each node
 # once and every task on that node reuses the decoded filters).
 #
-# MAX is 1 (clear-on-miss), not an LRU depth: holding several decoded
-# broadcast sets (~40 MB each of small numpy arrays) in a long-lived
-# worker heap measurably degrades ALL subsequent compute in that worker
-# -- a fixed numpy busy-loop went 6 ms -> 117 ms and probe wall time
-# 1.7 s -> 15 s by the 4th consecutive probe (allocator fragmentation;
-# reproduced only when multiple sets are retained, flat for 5+ probes
-# with clear-on-miss).  A worker serves one broadcast table at a time in
-# every production pipeline; switching tables costs one ~0.3 s decode.
+# MAX is 2, not a deep LRU: holding several decoded broadcast sets
+# (~40 MB each of small numpy arrays) in a long-lived worker heap
+# measurably degrades ALL subsequent compute in that worker -- a fixed
+# numpy busy-loop went 6 ms -> 117 ms and probe wall time 1.7 s -> 15 s
+# by the 4th consecutive probe (host page-provisioning throttle, see
+# BASELINE.md; reproduced only with >= 3 retained sets, flat at <= 2).
+# Depth 2 additionally protects a fused pipeline that alternates two
+# tables per batch (e.g. chained probes) from evict-thrash; switching
+# past 2 tables costs one ~0.3 s decode each.
 _FILTER_CACHE: dict[str, dict[int, object]] = {}
-_FILTER_CACHE_MAX = 1
+_FILTER_CACHE_MAX = 2
 
 # Same idea for SINGLE partition payloads on the colocated probe path.
 # Within one colocated probe a worker's shards cover DISJOINT pid sets,
