@@ -282,9 +282,14 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
     assert seen == len(specs) * n_keys, "lost rows in scaling job"
     wall = time.perf_counter() - t0
     ray.shutdown()
+    # counting convention: keys_per_sec = key-BUILDS per second over ALL
+    # len(specs) configs (every config's build cost is inside `wall`, so
+    # the rate's numerator must count every config too)
     return {"num_cpus": num_cpus, "sec": round(wall, 3),
             "n_keys": n_keys, "num_partitions": P,
-            "keys_per_sec": round(4 * n_keys / wall, 1)}
+            "n_configs": len(specs),
+            "keys_per_sec": round(len(specs) * n_keys / wall, 1),
+            "keys_per_sec_def": "key-builds/sec over all n_configs"}
 
 
 def _scaling() -> None:

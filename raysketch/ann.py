@@ -115,7 +115,13 @@ def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
     centroid (broadcast centroids, one matmul per batch), shuffle once on
     the bucket id, write each bucket atomically (tmp + rename) as its own
     parquet file.  Resumable like the filter-table checkpoint: re-running
-    skips buckets whose files already exist."""
+    skips buckets whose files already exist.
+
+    Centroids + META are committed atomically BEFORE the bucket pass, and
+    a resumed build loads the persisted centroids instead of retraining
+    (random_sample is block-layout/Ray-version sensitive) -- otherwise a
+    crash between the two passes could silently mix bucket files from two
+    centroid generations, losing recall.  META param mismatch fails loudly."""
     import json
     import os
 
@@ -123,7 +129,40 @@ def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
     import ray
 
     os.makedirs(index_dir, exist_ok=True)
-    cent = train_centroids(ds, vec_col, n_centroids, train_sample, seed)
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    meta_path = os.path.join(index_dir, "META.json")
+    params = {"n_centroids": n_centroids, "train_sample": train_sample,
+              "seed": seed}
+    if os.path.exists(meta_path):
+        # META is the commit marker (written after centroids.npy): its
+        # presence means centroids.npy is complete and authoritative
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("params") != params:
+            raise RuntimeError(
+                f"IVF index at {index_dir} was built with params "
+                f"{meta.get('params')}, resume requested {params}; "
+                "use a fresh index_dir or matching params")
+        cent = np.load(cent_path)
+    else:
+        leftover = [f for f in os.listdir(index_dir)
+                    if f.startswith("bucket_") and f.endswith(".parquet")]
+        if leftover:
+            raise RuntimeError(
+                f"IVF index at {index_dir} has {len(leftover)} bucket "
+                "files but no committed centroids (interrupted build from "
+                "an unknown centroid generation); delete the directory "
+                "and rebuild")
+        cent = train_centroids(ds, vec_col, n_centroids, train_sample,
+                               seed)
+        tmp = cent_path + f".tmp-{os.getpid()}.npy"
+        np.save(tmp, cent)
+        os.replace(tmp, cent_path)
+        tmp = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"n_centroids_actual": len(cent),
+                       "dim": int(cent.shape[1]), "params": params}, fh)
+        os.replace(tmp, meta_path)
     cref = ray.put(cent)
     done = {int(f[len("bucket_"):-len(".parquet")])
             for f in os.listdir(index_dir)
@@ -155,10 +194,6 @@ def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
        .groupby("__bucket")
        .map_groups(write_bucket, batch_format="pyarrow")
        .materialize())
-    np.save(os.path.join(index_dir, "centroids.npy"), cent)
-    with open(os.path.join(index_dir, "META.json"), "w") as fh:
-        json.dump({"n_centroids": len(cent), "dim": cent.shape[1],
-                   "seed": seed}, fh)
     return IvfIndex(index_dir, cent)
 
 

@@ -264,10 +264,13 @@ _FILTER_CACHE_MAX = 2
 
 # Same idea for SINGLE partition payloads on the colocated probe path.
 # Within one colocated probe a worker's shards cover DISJOINT pid sets,
-# so depth only helps repeated probes of the same table; keep it shallow
-# for the same heap-degradation reason as above.
+# so depth only helps repeated probes of the same table; the cap is by
+# TOTAL DECODED BYTES (~2 broadcast-set equivalents), not entry count --
+# at ~1M keys/partition one decoded filter is MBs, and a 16-entry count
+# cap could retain the same >= 3x ~40 MB heap footprint that measurably
+# degraded all compute in a long-lived worker (see above).
 _SINGLE_FILTER_CACHE: dict[str, object] = {}
-_SINGLE_FILTER_CACHE_MAX = 16
+_SINGLE_FILTER_CACHE_MAX_BYTES = 80 << 20
 
 
 def _cached_single_filter(ref):
@@ -276,8 +279,13 @@ def _cached_single_filter(ref):
     f = _SINGLE_FILTER_CACHE.get(key)
     if f is None:
         f = sketch_from_bytes(ray.get(ref))
-        if len(_SINGLE_FILTER_CACHE) >= _SINGLE_FILTER_CACHE_MAX:
-            _SINGLE_FILTER_CACHE.pop(next(iter(_SINGLE_FILTER_CACHE)))
+        new_bytes = int(f.mem_usage())
+        held = sum(int(v.mem_usage())
+                   for v in _SINGLE_FILTER_CACHE.values())
+        while _SINGLE_FILTER_CACHE and \
+                held + new_bytes > _SINGLE_FILTER_CACHE_MAX_BYTES:
+            old = _SINGLE_FILTER_CACHE.pop(next(iter(_SINGLE_FILTER_CACHE)))
+            held -= int(old.mem_usage())
         _SINGLE_FILTER_CACHE[key] = f
     return f
 

@@ -138,23 +138,38 @@ def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0]
         r = g[g["side"] == 1].sort_values(["ts", "id"], kind="stable")
+        int_ids = np.issubdtype(g["id"].values.dtype, np.integer)
+
+        def null_ids(vals: np.ndarray, matched: np.ndarray):
+            # unmatched rows are NULL.  Integer ids stay int64 with a null
+            # mask (NaN-in-float64 silently corrupts ids above 2^53 -- the
+            # normal case for 64-bit id spaces at scale); non-integer ids
+            # keep the float/NaN path.
+            if int_ids:
+                out = np.zeros(len(matched), dtype=np.int64)
+                out[matched] = vals
+                return pd.arrays.IntegerArray(out, mask=~matched)
+            out = np.full(len(matched), np.nan)
+            out[matched] = vals.astype(np.float64)
+            return out
+
         if not len(l):
             # dtypes must follow the actual key/id columns (a right-only
             # string-keyed group with hardcoded int64 would make block
             # schemas heterogeneous)
+            empty = np.zeros(0, dtype=bool)
             return pd.DataFrame({left_id: l["id"],
                                  "key": l["key"],
-                                 right_id: pd.Series([], dtype="float64")})
+                                 right_id: null_ids(
+                                     g["id"].values[:0], empty)})
         lts = l["ts"].values.astype("datetime64[us]").astype(np.int64)
         rts = r["ts"].values.astype("datetime64[us]").astype(np.int64)
         idx = np.searchsorted(rts, lts, side="right") - 1
-        matched = idx >= 0
-        rid = np.full(len(l), np.nan)
-        if len(r):
-            rid[matched] = r["id"].values[idx[matched]].astype(np.float64)
+        matched = idx >= 0 if len(r) else np.zeros(len(l), dtype=bool)
         return pd.DataFrame({left_id: l["id"].values,
                              "key": l["key"].values,
-                             right_id: rid})
+                             right_id: null_ids(
+                                 r["id"].values[idx[matched]], matched)})
 
     return left.union(right).groupby("key").map_groups(
         merge, batch_format="pandas")

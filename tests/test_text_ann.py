@@ -385,6 +385,44 @@ def test_ivf_index_resume_skips_existing_buckets(ray_session, tmp_path):
     assert (out[out["rank"] == 0]["vec_id"].values == [0, 1]).all()
 
 
+def test_ivf_index_resume_centroid_generations(ray_session, tmp_path):
+    """Centroids are committed before the bucket pass; a resume must reuse
+    them (never retrain), reject mismatched params, and refuse a dir whose
+    bucket files come from an uncommitted centroid generation."""
+    import os
+
+    import pytest
+    import ray.data as rd
+    from raysketch.ann import build_ivf_index
+
+    rng = np.random.default_rng(78)
+    vecs = rng.standard_normal((120, 8))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(120)])
+    idx_dir = str(tmp_path / "ivf3")
+    build_ivf_index(ds, "embedding", "vec_id", idx_dir, n_centroids=4,
+                    seed=9)
+    cent_path = os.path.join(idx_dir, "centroids.npy")
+    mtime = os.path.getmtime(cent_path)
+    # same params resume: persisted centroids are loaded, not rewritten
+    build_ivf_index(ds, "embedding", "vec_id", idx_dir, n_centroids=4,
+                    seed=9)
+    assert os.path.getmtime(cent_path) == mtime
+    # different params against the same dir: loud failure, no mixing
+    with pytest.raises(RuntimeError, match="params"):
+        build_ivf_index(ds, "embedding", "vec_id", idx_dir, n_centroids=8,
+                        seed=9)
+    # bucket files without a committed META (crash before the centroid
+    # commit of a pre-fix build): refuse to guess the generation
+    idx_dir2 = str(tmp_path / "ivf4")
+    os.makedirs(idx_dir2)
+    with open(os.path.join(idx_dir2, "bucket_0.parquet"), "wb") as fh:
+        fh.write(b"stale")
+    with pytest.raises(RuntimeError, match="centroid"):
+        build_ivf_index(ds, "embedding", "vec_id", idx_dir2, n_centroids=4,
+                        seed=9)
+
+
 def _adversarial_docs():
     import pyarrow as pa
     return pa.table({

@@ -56,10 +56,32 @@ def test_asof_join_null_and_tie_semantics(ray_session):
     out = asof_join(rd.from_pandas(L), "k", "ts", "lid",
                     rd.from_pandas(R), "k", "ts", "rid"
                     ).to_pandas().sort_values("lid").reset_index(drop=True)
-    assert np.isnan(out["rid"][0])        # before all right rows
-    assert out["rid"][1] == 101.0         # tie on ts -> max rid
-    assert np.isnan(out["rid"][2])        # right exists but later
-    assert np.isnan(out["rid"][3])        # key with no right rows
+    assert pd.isna(out["rid"][0])         # before all right rows
+    assert out["rid"][1] == 101           # tie on ts -> max rid
+    assert pd.isna(out["rid"][2])         # right exists but later
+    assert pd.isna(out["rid"][3])         # key with no right rows
+    # integer ids survive as int64-with-nulls, NOT NaN-in-float64
+    assert pd.api.types.is_integer_dtype(out["rid"].dtype)
+
+
+def test_asof_join_ids_above_2_53_exact(ray_session):
+    """64-bit id spaces are the normal case at scale: ids above 2^53 must
+    come back exact (a float64 round-trip would silently corrupt them)."""
+    import ray.data as rd
+    from raysketch.windows import asof_join
+    big = (1 << 62) + 12345678901       # not representable in float64
+    assert int(float(big)) != big
+    L = pd.DataFrame({"k": [1, 2],
+                      "ts": pd.to_datetime(["2024-03-01", "2024-03-01"]),
+                      "lid": [1, 2]})
+    R = pd.DataFrame({"k": [1],
+                      "ts": pd.to_datetime(["2024-02-01"]),
+                      "rid": np.array([big], dtype=np.int64)})
+    out = asof_join(rd.from_pandas(L), "k", "ts", "lid",
+                    rd.from_pandas(R), "k", "ts", "rid"
+                    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert int(out["rid"][0]) == big
+    assert pd.isna(out["rid"][1])
 
 
 def test_hopping_window_covers_each_event_twice(ray_session):
