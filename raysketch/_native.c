@@ -345,53 +345,397 @@ void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
  * Peeling tracks the ROW INDEX of each key (via cellmask) so a peeled
  * key's arity positions are read back from `sub` without re-deriving
  * subhashes in C. */
-int xorf_peel_solve(int64_t n, const uint64_t *h, const uint32_t *sub,
-                    int arity, int64_t array_len, uint32_t *count,
-                    uint64_t *xormask, uint64_t *rowmask,
-                    uint32_t *stack_cell, uint32_t *stack_row,
-                    int64_t *queue, uint32_t *fp_out, int fp_bits)
+/* ---------------- XXH3-64: byte-compatible string hash ----------------
+ * Scalar XXH3_64bits_withSeed from the published xxHash specification
+ * (same algorithm raysketch/xxh3.py implements in NumPy, validated
+ * against the 11 published sanity vectors) -- the reference engine's
+ * cross-engine determinism anchor (src/bench.zig:10-14, XxHash3 seed 0).
+ * BIT-IDENTICAL to xxh3.py:xxh3_64; parity pinned by tests/test_native.py.
+ * Stays scalar-C (no SIMD intrinsics) for portability; -O3 autovectorizes
+ * the accumulate loop well enough (BASELINE.md kernel table). */
+
+static const uint8_t XXH3_KSECRET[192] = {
+    0xb8, 0xfe, 0x6c, 0x39, 0x23, 0xa4, 0x4b, 0xbe, 0x7c, 0x01, 0x81, 0x2c,
+    0xf7, 0x21, 0xad, 0x1c, 0xde, 0xd4, 0x6d, 0xe9, 0x83, 0x90, 0x97, 0xdb,
+    0x72, 0x40, 0xa4, 0xa4, 0xb7, 0xb3, 0x67, 0x1f, 0xcb, 0x79, 0xe6, 0x4e,
+    0xcc, 0xc0, 0xe5, 0x78, 0x82, 0x5a, 0xd0, 0x7d, 0xcc, 0xff, 0x72, 0x21,
+    0xb8, 0x08, 0x46, 0x74, 0xf7, 0x43, 0x24, 0x8e, 0xe0, 0x35, 0x90, 0xe6,
+    0x81, 0x3a, 0x26, 0x4c, 0x3c, 0x28, 0x52, 0xbb, 0x91, 0xc3, 0x00, 0xcb,
+    0x88, 0xd0, 0x65, 0x8b, 0x1b, 0x53, 0x2e, 0xa3, 0x71, 0x64, 0x48, 0x97,
+    0xa2, 0x0d, 0xf9, 0x4e, 0x38, 0x19, 0xef, 0x46, 0xa9, 0xde, 0xac, 0xd8,
+    0xa8, 0xfa, 0x76, 0x3f, 0xe3, 0x9c, 0x34, 0x3f, 0xf9, 0xdc, 0xbb, 0xc7,
+    0xc7, 0x0b, 0x4f, 0x1d, 0x8a, 0x51, 0xe0, 0x4b, 0xcd, 0xb4, 0x59, 0x31,
+    0xc8, 0x9f, 0x7e, 0xc9, 0xd9, 0x78, 0x73, 0x64, 0xea, 0xc5, 0xac, 0x83,
+    0x34, 0xd3, 0xeb, 0xc3, 0xc5, 0x81, 0xa0, 0xff, 0xfa, 0x13, 0x63, 0xeb,
+    0x17, 0x0d, 0xdd, 0x51, 0xb7, 0xf0, 0xda, 0x49, 0xd3, 0x16, 0x55, 0x26,
+    0x29, 0xd4, 0x68, 0x9e, 0x2b, 0x16, 0xbe, 0x58, 0x7d, 0x47, 0xa1, 0xfc,
+    0x8f, 0xf8, 0xb8, 0xd1, 0x7a, 0xd0, 0x31, 0xce, 0x45, 0xcb, 0x3a, 0x8f,
+    0x95, 0x16, 0x04, 0x28, 0xaf, 0xd7, 0xfb, 0xca, 0xbb, 0x4b, 0x40, 0x7e,
+};
+
+#define XXH_P64_1 0x9E3779B185EBCA87ull
+#define XXH_P64_2 0xC2B2AE3D27D4EB4Full
+#define XXH_P64_3 0x165667B19E3779F9ull
+#define XXH_P32_1 0x9E3779B1ull
+#define XXH_PMX1  0x165667919E3779F9ull
+#define XXH_PMX2  0x9FB21C651E98DF25ull
+
+static inline uint64_t xxh_read64(const uint8_t *p)
 {
-    for (int64_t i = 0; i < n; i++)
-        for (int a = 0; a < arity; a++) {
-            uint32_t c = sub[i * arity + a];
-            count[c] += 1;
-            xormask[c] ^= h[i];
-            rowmask[c] ^= (uint64_t)i;
-        }
-    int64_t qh = 0, qt = 0;
-    for (int64_t c = 0; c < array_len; c++)
-        if (count[c] == 1) queue[qt++] = c;
-    int64_t peeled = 0;
-    while (qh < qt) {
-        int64_t c = queue[qh++];
-        if (count[c] != 1) continue;
-        int64_t row = (int64_t)rowmask[c];
-        uint64_t key = xormask[c];
-        stack_cell[peeled] = (uint32_t)c;
-        stack_row[peeled] = (uint32_t)row;
-        peeled++;
-        for (int a = 0; a < arity; a++) {
-            uint32_t cc = sub[row * arity + a];
-            count[cc] -= 1;
-            xormask[cc] ^= key;
-            rowmask[cc] ^= (uint64_t)row;
-            if (count[cc] == 1) queue[qt++] = cc;
-        }
+    uint64_t w;
+    __builtin_memcpy(&w, p, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    w = __builtin_bswap64(w);
+#endif
+    return w;
+}
+
+static inline uint64_t xxh_read32(const uint8_t *p)
+{
+    uint32_t w;
+    __builtin_memcpy(&w, p, 4);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    w = __builtin_bswap32(w);
+#endif
+    return (uint64_t)w;
+}
+
+static inline uint64_t xxh_rotl64(uint64_t x, int r)
+{
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t xxh_mul128_fold64(uint64_t a, uint64_t b)
+{
+    u128 p = (u128)a * b;
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+
+static inline uint64_t xxh64_avalanche(uint64_t h)
+{
+    h ^= h >> 33; h *= XXH_P64_2;
+    h ^= h >> 29; h *= XXH_P64_3;
+    h ^= h >> 32;
+    return h;
+}
+
+static inline uint64_t xxh3_avalanche(uint64_t h)
+{
+    h ^= h >> 37; h *= XXH_PMX1; h ^= h >> 32;
+    return h;
+}
+
+static inline uint64_t xxh3_rrmxmx(uint64_t h, uint64_t len)
+{
+    h ^= xxh_rotl64(h, 49) ^ xxh_rotl64(h, 24);
+    h *= XXH_PMX2;
+    h ^= (h >> 35) + len;
+    h *= XXH_PMX2;
+    h ^= h >> 28;
+    return h;
+}
+
+static inline uint64_t xxh3_mix16(const uint8_t *in, const uint8_t *sec,
+                                  uint64_t seed)
+{
+    return xxh_mul128_fold64(xxh_read64(in) ^ (xxh_read64(sec) + seed),
+                             xxh_read64(in + 8)
+                             ^ (xxh_read64(sec + 8) - seed));
+}
+
+static inline void xxh3_accumulate512(uint64_t *acc, const uint8_t *in,
+                                      const uint8_t *sec)
+{
+    for (int i = 0; i < 8; i++) {
+        uint64_t v = xxh_read64(in + 8 * i);
+        uint64_t k = v ^ xxh_read64(sec + 8 * i);
+        acc[i ^ 1] += v;
+        acc[i] += (k & 0xFFFFFFFFull) * (k >> 32);
     }
-    if (peeled < n) return 0;
-    /* reverse-order solve: fp[assign] = fingerprint ^ XOR(other cells) */
+}
+
+static uint64_t xxh3_long(const uint8_t *in, int64_t len,
+                          const uint8_t *secret)
+{
+    uint64_t acc[8] = {
+        0xC2B2AE3Dull,                 /* PRIME32_3 */
+        XXH_P64_1, XXH_P64_2, XXH_P64_3,
+        0x85EBCA77C2B2AE63ull,         /* PRIME64_4 */
+        0x85EBCA77ull,                 /* PRIME32_2 */
+        0x27D4EB2F165667C5ull,         /* PRIME64_5 */
+        XXH_P32_1,                     /* PRIME32_1 */
+    };
+    const int64_t block_len = 1024;    /* 16 stripes * 64 B */
+    int64_t nb_blocks = (len - 1) / block_len;
+    for (int64_t b = 0; b < nb_blocks; b++) {
+        for (int s = 0; s < 16; s++)
+            xxh3_accumulate512(acc, in + b * block_len + s * 64,
+                               secret + 8 * s);
+        for (int i = 0; i < 8; i++)
+            acc[i] = (acc[i] ^ (acc[i] >> 47)
+                      ^ xxh_read64(secret + 128 + 8 * i)) * XXH_P32_1;
+    }
+    int64_t nb_stripes = ((len - 1) - block_len * nb_blocks) / 64;
+    for (int64_t s = 0; s < nb_stripes; s++)
+        xxh3_accumulate512(acc, in + nb_blocks * block_len + s * 64,
+                           secret + 8 * s);
+    xxh3_accumulate512(acc, in + len - 64, secret + 121);
+    uint64_t result = (uint64_t)len * XXH_P64_1;
+    for (int i = 0; i < 4; i++)
+        result += xxh_mul128_fold64(
+            acc[2 * i] ^ xxh_read64(secret + 11 + 16 * i),
+            acc[2 * i + 1] ^ xxh_read64(secret + 19 + 16 * i));
+    return xxh3_avalanche(result);
+}
+
+static uint64_t xxh3_one(const uint8_t *in, int64_t len, uint64_t seed,
+                         const uint8_t *long_secret)
+{
+    const uint8_t *sec = XXH3_KSECRET;
+    if (len == 0)
+        return xxh64_avalanche(seed ^ xxh_read64(sec + 56)
+                               ^ xxh_read64(sec + 64));
+    if (len <= 3) {
+        uint64_t c1 = in[0], c2 = in[len >> 1], c3 = in[len - 1];
+        uint64_t combined = (c1 << 16) | (c2 << 24) | c3
+                            | ((uint64_t)len << 8);
+        uint64_t bitflip = ((uint64_t)(uint32_t)(xxh_read32(sec)
+                            ^ xxh_read32(sec + 4))) + seed;
+        return xxh64_avalanche(combined ^ bitflip);
+    }
+    if (len <= 8) {
+        uint64_t s32 = seed & 0xFFFFFFFFull;
+        uint64_t swapped = ((s32 & 0xFFull) << 24)
+                           | ((s32 & 0xFF00ull) << 8)
+                           | ((s32 & 0xFF0000ull) >> 8) | (s32 >> 24);
+        uint64_t seed2 = seed ^ (swapped << 32);
+        uint64_t in1 = xxh_read32(in);
+        uint64_t in2 = xxh_read32(in + len - 4);
+        uint64_t input64 = in2 + (in1 << 32);
+        uint64_t bitflip = (xxh_read64(sec + 8) ^ xxh_read64(sec + 16))
+                           - seed2;
+        return xxh3_rrmxmx(input64 ^ bitflip, (uint64_t)len);
+    }
+    if (len <= 16) {
+        uint64_t bitflip1 = (xxh_read64(sec + 24) ^ xxh_read64(sec + 32))
+                            + seed;
+        uint64_t bitflip2 = (xxh_read64(sec + 40) ^ xxh_read64(sec + 48))
+                            - seed;
+        uint64_t lo = xxh_read64(in) ^ bitflip1;
+        uint64_t hi = xxh_read64(in + len - 8) ^ bitflip2;
+        uint64_t acc = (uint64_t)len + __builtin_bswap64(lo) + hi
+                       + xxh_mul128_fold64(lo, hi);
+        return xxh3_avalanche(acc);
+    }
+    if (len <= 128) {
+        uint64_t acc = (uint64_t)len * XXH_P64_1;
+        if (len > 32) {
+            if (len > 64) {
+                if (len > 96) {
+                    acc += xxh3_mix16(in + 48, sec + 96, seed);
+                    acc += xxh3_mix16(in + len - 64, sec + 112, seed);
+                }
+                acc += xxh3_mix16(in + 32, sec + 64, seed);
+                acc += xxh3_mix16(in + len - 48, sec + 80, seed);
+            }
+            acc += xxh3_mix16(in + 16, sec + 32, seed);
+            acc += xxh3_mix16(in + len - 32, sec + 48, seed);
+        }
+        acc += xxh3_mix16(in, sec, seed);
+        acc += xxh3_mix16(in + len - 16, sec + 16, seed);
+        return xxh3_avalanche(acc);
+    }
+    if (len <= 240) {
+        uint64_t acc = (uint64_t)len * XXH_P64_1;
+        for (int i = 0; i < 8; i++)
+            acc += xxh3_mix16(in + 16 * i, sec + 16 * i, seed);
+        acc = xxh3_avalanche(acc);
+        int nb = (int)(len / 16);
+        for (int i = 8; i < nb; i++)
+            acc += xxh3_mix16(in + 16 * i, sec + 16 * (i - 8) + 3, seed);
+        acc += xxh3_mix16(in + len - 16, sec + 136 - 17, seed);
+        return xxh3_avalanche(acc);
+    }
+    return xxh3_long(in, len, long_secret);
+}
+
+void xxh3_64_bytes(const int64_t *offsets, const uint8_t *data, int64_t n,
+                   uint64_t seed, uint64_t *out)
+{
+    uint8_t custom[192];
+    const uint8_t *long_secret = XXH3_KSECRET;
+    if (seed != 0) {
+        /* initCustomSecret: per 16-byte pair, word0+seed, word1-seed;
+         * only the long path (>240 B) consumes the custom secret */
+        for (int i = 0; i < 12; i++) {
+            uint64_t w0 = xxh_read64(XXH3_KSECRET + 16 * i) + seed;
+            uint64_t w1 = xxh_read64(XXH3_KSECRET + 16 * i + 8) - seed;
+            for (int b = 0; b < 8; b++) {
+                custom[16 * i + b] = (uint8_t)(w0 >> (8 * b));
+                custom[16 * i + 8 + b] = (uint8_t)(w1 >> (8 * b));
+            }
+        }
+        long_secret = custom;
+    }
+    for (int64_t i = 0; i < n; i++)
+        out[i] = xxh3_one(data + offsets[i], offsets[i + 1] - offsets[i],
+                          seed, long_secret);
+}
+
+/* ---------------- xorf: full in-C retry build ----------------
+ * Entire seed-retry loop (apply_seed -> subhash -> count -> LIFO stack
+ * peel -> reverse solve) in one call, mirroring the reference's storage
+ * discipline (src/xorf.zig:111-220): per cell only (xormask u64,
+ * count u32); the peel stack stores (h, which-position u8) and
+ * RECOMPUTES the arity probe positions from h on every visit (~10 ALU
+ * ops) instead of materializing an (n x arity) position matrix -- the
+ * old xorf_peel_solve shipped that matrix plus a rowmask through every
+ * random-access update and was memory-bound at ~10 M keys/s.  Subhash
+ * derivation keeps the documented _HL_MIX deviation (xorf.py
+ * _make_subhashes) and the seed schedule is the same SplitMix64 stream,
+ * so native and NumPy builds accept the SAME seed (pinned by
+ * tests/test_native.py). */
+
+static inline uint64_t sm64_next(uint64_t *state)
+{
+    *state += 0x9E3779B97F4A7C15ull;
+    uint64_t z = *state;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+}
+
+static inline uint64_t murmur64a_u64_scalar(uint64_t h, uint64_t seed)
+{
+    const uint64_t m = 0xC6A4A7935BD1E995ull;
+    uint64_t acc = seed ^ (8ull * m);
+    uint64_t k = h * m;
+    k ^= k >> 47;
+    k *= m;
+    acc ^= k;
+    acc *= m;
+    acc ^= acc >> 47;
+    acc *= m;
+    acc ^= acc >> 47;
+    return acc;
+}
+
+static inline void xorf_subhashes(uint64_t h, int arity,
+                                  uint32_t segment_length,
+                                  uint64_t segment_count_length,
+                                  uint32_t *sub)
+{
+    uint64_t hmix = (h * 0xBF58476D1CE4E5B9ull) >> 32;
+    uint32_t hl = (uint32_t)((segment_count_length
+                              * (hmix & 0xFFFFFFFFull)) >> 32);
+    uint32_t seg_mask = segment_length - 1;
+    int shift = 64 / arity;
+    for (int i = 0; i < arity; i++) {
+        int rot = (i * shift) & 63;
+        uint64_t rotated = rot ? ((h << rot) | (h >> (64 - rot))) : h;
+        uint32_t r32 = (uint32_t)rotated;
+        sub[i] = (hl + (uint32_t)i * segment_length) ^ (r32 & seg_mask);
+    }
+}
+
+/* Returns number of seed attempts used (>=1) on success, 0 on failure
+ * after max_attempts.  seed_out receives the accepted seed.  Work
+ * buffers are caller-allocated and reused across attempts:
+ * cellbuf u64[2*array_len] (interleaved {xormask, count} 16-byte cells:
+ * every counting/peel update touches both fields, so packing them puts
+ * each random access on ONE cache line instead of two -- the peel is
+ * memory-bound), queue u32[array_len], stack_h u64[n], stack_hi u8[n],
+ * fp_out u32[array_len]. */
+typedef struct { uint64_t xormask; uint64_t count; } xorf_cell;
+
+int xorf_build(const uint64_t *hashes, int64_t n, int arity, int fp_bits,
+               uint32_t segment_length, uint64_t segment_count_length,
+               int64_t array_len, uint64_t seed_root, int max_attempts,
+               uint64_t *cellbuf, uint32_t *queue,
+               uint64_t *stack_h, uint8_t *stack_hi,
+               uint32_t *fp_out, uint64_t *seed_out)
+{
+    xorf_cell *cells = (xorf_cell *)cellbuf;
+    uint64_t state = seed_root;
+    uint32_t sub[4];
     uint32_t fp_mask = fp_bits >= 32 ? 0xFFFFFFFFu
                                      : ((1u << fp_bits) - 1u);
-    for (int64_t s = peeled - 1; s >= 0; s--) {
-        uint32_t c = stack_cell[s];
-        int64_t row = (int64_t)stack_row[s];
-        uint64_t hh = h[row];
-        uint32_t f = (uint32_t)((hh ^ (hh >> 32))) & fp_mask;
-        for (int a = 0; a < arity; a++) {
-            uint32_t cc = sub[row * arity + a];
-            if (cc != c) f ^= fp_out[cc];
+    for (int attempt = 1; attempt <= max_attempts; attempt++) {
+        uint64_t seed = sm64_next(&state);
+        memset(cells, 0, (size_t)array_len * sizeof(xorf_cell));
+        /* counting pass with a software-pipelined window: derive
+         * (h, positions) PF keys ahead and prefetch their cells so the
+         * random updates overlap their cache misses */
+        enum { PF = 16 };
+        uint64_t ring_h[PF];
+        uint32_t ring_sub[PF][4];
+        int64_t lead = n < PF ? n : PF;
+        for (int64_t i = 0; i < lead; i++) {
+            uint64_t h = murmur64a_u64_scalar(hashes[i], seed);
+            ring_h[i] = h;
+            xorf_subhashes(h, arity, segment_length,
+                           segment_count_length, ring_sub[i]);
+            for (int a = 0; a < arity; a++)
+                __builtin_prefetch(&cells[ring_sub[i][a]], 1, 1);
         }
-        fp_out[c] = f & fp_mask;
+        for (int64_t i = 0; i < n; i++) {
+            int slot = (int)(i % PF);
+            uint64_t h = ring_h[slot];
+            uint32_t *s = ring_sub[slot];
+            for (int a = 0; a < arity; a++) {
+                cells[s[a]].xormask ^= h;
+                cells[s[a]].count += 1;
+            }
+            int64_t nx = i + PF;
+            if (nx < n) {
+                uint64_t hn = murmur64a_u64_scalar(hashes[nx], seed);
+                ring_h[slot] = hn;
+                xorf_subhashes(hn, arity, segment_length,
+                               segment_count_length, ring_sub[slot]);
+                for (int a = 0; a < arity; a++)
+                    __builtin_prefetch(&cells[ring_sub[slot][a]], 1, 1);
+            }
+        }
+        int64_t queue_len = 0;
+        for (int64_t c = 0; c < array_len; c++)
+            if (cells[c].count == 1) queue[queue_len++] = (uint32_t)c;
+        int64_t stack_len = 0;
+        while (queue_len > 0) {
+            uint32_t c = queue[--queue_len];
+            if (cells[c].count != 1) continue;
+            uint64_t h = cells[c].xormask;
+            xorf_subhashes(h, arity, segment_length,
+                           segment_count_length, sub);
+            stack_h[stack_len] = h;
+            for (int a = 0; a < arity; a++) {
+                uint32_t s = sub[a];
+                cells[s].xormask ^= h;
+                cells[s].count -= 1;
+                if (s == c)
+                    stack_hi[stack_len] = (uint8_t)a;
+                else if (cells[s].count == 1)
+                    queue[queue_len++] = s;
+            }
+            stack_len++;
+        }
+        if (stack_len < n) continue;
+        memset(fp_out, 0, (size_t)array_len * 4);
+        while (stack_len > 0) {
+            stack_len--;
+            uint64_t h = stack_h[stack_len];
+            int hi = stack_hi[stack_len];
+            xorf_subhashes(h, arity, segment_length,
+                           segment_count_length, sub);
+            uint32_t f = (uint32_t)(h ^ (h >> 32)) & fp_mask;
+            for (int a = 0; a < arity; a++) {
+                if (a == hi) continue;
+                f ^= fp_out[sub[a]];
+            }
+            fp_out[sub[hi]] = f & fp_mask;
+        }
+        *seed_out = seed;
+        return attempt;
     }
-    return 1;
+    return 0;
 }
+

@@ -11,11 +11,12 @@ Kernels:
     constructions for retry seeds (reference: src/xorf.zig:134, src/ribbon.zig:61).
   - murmur64a_u64: MurmurHash64A of a u64 value with a seed -- the re-seed
     step of the xor filter (reference: src/xorf.zig:7-9 `apply_seed`).
-  - hash_bytes_u64 / hash_strings: chunked 8-bytes-at-a-time string hash
-    ("gxh64") playing the role of the reference's XxHash3-over-key-bytes
-    (src/bench.zig:10-14).  Not byte-compatible with XxHash3 (no xxhash wheel
-    in this environment); same contract: uniform u64 over arbitrary byte keys,
-    fixed seed, vectorized.
+  - hash_bytes_u64 / hash_strings: the string hash.  Default kernel is
+    byte-compatible XXH3-64 (the reference's own key hash,
+    src/bench.zig:10-14; native C scalar kernel with a bit-identical
+    NumPy fallback, both checked against the published sanity vectors).
+    The legacy "gxh64" chunked kernel remains selectable
+    (RAYSKETCH_HASH_KERNEL=gxh64) for payloads built under it.
 """
 
 from __future__ import annotations
@@ -41,19 +42,24 @@ _GX_P4 = U64(0x27D4EB2F165667C5)
 DEFAULT_SEED = 0  # reference uses XxHash3 seed 0: src/bench.zig:12
 
 #: Active string-hash kernel.
-#:   "gxh64" -- the fast NumPy kernel (default; ~2M urls/s/core)
-#:   "xxh3"  -- byte-compatible XXH3-64 (raysketch/xxh3.py, validated
-#:              against the published sanity vectors): filters built under
-#:              this kernel are key-compatible with the reference engine's
-#:              XxHash3-seeded filters (src/bench.zig:10-14), at ~7x the
-#:              hash cost in pure NumPy.
-#: Select at process start via RAYSKETCH_HASH_KERNEL=xxh3 (inherited by
+#:   "xxh3"  -- byte-compatible XXH3-64 (DEFAULT since round 4): filters
+#:              built under this kernel are key-compatible with the
+#:              reference engine's XxHash3-seeded filters
+#:              (src/bench.zig:10-14, the reference's cross-engine
+#:              determinism anchor).  Runs the compiled scalar kernel
+#:              (_native.c:xxh3_64_bytes) when available, otherwise the
+#:              bit-identical NumPy implementation (raysketch/xxh3.py);
+#:              both are validated against the 11 published sanity
+#:              vectors, so mixed native/NumPy workers stay consistent.
+#:   "gxh64" -- the in-house kernel (slightly faster native path, NOT
+#:              reference-compatible); RAYSKETCH_HASH_KERNEL=gxh64.
+#: Select at process start via RAYSKETCH_HASH_KERNEL (inherited by
 #: local Ray workers) or set_kernel() BEFORE any Ray stage runs.  The
 #: HASH_VERSION envelope stamp (sketches/base.py) makes cross-kernel
 #: build/probe mixing fail loudly rather than false-negate.
 import os as _os
 
-KERNEL = _os.environ.get("RAYSKETCH_HASH_KERNEL", "gxh64")
+KERNEL = _os.environ.get("RAYSKETCH_HASH_KERNEL", "xxh3")
 
 #: version of the string-hash kernel; stamped into every sketch envelope
 #: (sketches/base.py pack) and build-checkpoint MANIFEST so payloads built
@@ -150,9 +156,27 @@ def hash_bytes_u64(offsets: np.ndarray, data: np.ndarray,
     """Hash n variable-length byte strings described by (offsets, data)
     with the ACTIVE kernel (see KERNEL above)."""
     if KERNEL == "xxh3":
-        from .xxh3 import xxh3_64
-        return xxh3_64(offsets, data, seed)
+        return _xxh3_bytes(offsets, data, seed)
     return _gxh64_bytes(offsets, data, seed)
+
+
+def _xxh3_bytes(offsets: np.ndarray, data: np.ndarray,
+                seed: int = DEFAULT_SEED) -> np.ndarray:
+    """XXH3-64: compiled scalar kernel when available, bit-identical
+    NumPy implementation otherwise (parity pinned by tests/test_native.py
+    AND both validated against the published sanity vectors, so a mixed
+    native/NumPy worker fleet produces identical hashes)."""
+    from .native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        n = len(offsets) - 1
+        out = np.empty(n, dtype=U64)
+        lib.xxh3_64_bytes(np.ascontiguousarray(offsets, dtype=np.int64),
+                          np.ascontiguousarray(data, dtype=np.uint8),
+                          n, seed & 0xFFFFFFFFFFFFFFFF, out)
+        return out
+    from .xxh3 import xxh3_64
+    return xxh3_64(offsets, data, seed)
 
 
 def _gxh64_bytes(offsets: np.ndarray, data: np.ndarray,

@@ -77,6 +77,8 @@ def _build_and_load():
     lib.sbbf_check.argtypes = [p_u64, i64, p_u64, i64, p_u8]
     lib.gxh64_bytes.restype = None
     lib.gxh64_bytes.argtypes = [p_i64, p_u8, i64, ctypes.c_uint64, p_u64]
+    lib.xxh3_64_bytes.restype = None
+    lib.xxh3_64_bytes.argtypes = [p_i64, p_u8, i64, ctypes.c_uint64, p_u64]
     lib.xorf_check.restype = None
     lib.xorf_check.argtypes = [p_u64, i64, ctypes.c_uint64,
                                ctypes.c_uint32, ctypes.c_uint32,
@@ -86,10 +88,12 @@ def _build_and_load():
     lib.ribbon_check.argtypes = [p_u64, i64, ctypes.c_uint64,
                                  ctypes.c_int, ctypes.c_int,
                                  ctypes.c_void_p, i64, p_u8]
-    lib.xorf_peel_solve.restype = ctypes.c_int
-    lib.xorf_peel_solve.argtypes = [i64, p_u64, p_u32, ctypes.c_int, i64,
-                                    p_u32, p_u64, p_u64, p_u32, p_u32,
-                                    p_i64, p_u32, ctypes.c_int]
+    lib.xorf_build.restype = ctypes.c_int
+    lib.xorf_build.argtypes = [p_u64, i64, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_uint32, ctypes.c_uint64, i64,
+                               ctypes.c_uint64, ctypes.c_int,
+                               p_u64, p_u32, p_u64, p_u8, p_u32,
+                               ctypes.POINTER(ctypes.c_uint64)]
     return lib
 
 

@@ -7,14 +7,18 @@ peeling construction with <=100 SplitMix64 seed retries at
 src/xorf.zig:111-220, seed sequence root 0x726b2b9d438b9d4d at
 src/xorf.zig:134).
 
-NOT a port: the reference peels one cell at a time off a queue; here peeling
-runs in vectorized *rounds* (all currently-singleton cells peel together,
-NumPy kernels over the whole frontier).  Round-parallel peeling succeeds on
-exactly the same (seed, key-set) pairs as sequential peeling -- success is a
-property of the 3/4-uniform hypergraph having an empty 2-core, independent of
-peel order -- and back-substitution in reverse round order is valid because a
-key's non-assignment cells are only ever assigned by later-peeled keys or
-never assigned (see construct() body).
+Two construction paths, same accepted seeds (success is a property of the
+3/4-uniform hypergraph having an empty 2-core, independent of peel order):
+
+- native (_native.c:xorf_build, default when a C compiler exists): the
+  whole seed-retry loop in C with the classic queue peel, packed
+  {xormask, count} 16-byte cells (one cache line per random update) and
+  probe positions recomputed from h instead of materialized.
+- NumPy fallback: peeling in vectorized *rounds* (all currently-singleton
+  cells peel together, NumPy kernels over the whole frontier);
+  back-substitution in reverse round order is valid because a key's
+  non-assignment cells are only ever assigned by later-peeled keys or
+  never assigned (see construct() body).
 
 Construction REQUIRES deduplicated hashes (duplicate keys make the hypergraph
 unpeelable; the reference panics on duplicates, src/bench.zig:251-256).
@@ -140,6 +144,8 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
     """
     from ..native import get_lib
 
+    import ctypes
+
     dtype = _FP_DTYPES[fp_bits]
     header = calculate_header(arity, len(hashes))
     array_len = header["array_length"]
@@ -147,31 +153,40 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
     next_seed = splitmix64(_SEED_ROOT)
     lib = get_lib()
 
+    if lib is not None:
+        # entire retry loop in C (_native.c:xorf_build): apply_seed,
+        # subhash derivation (same _HL_MIX deviation), single-pass
+        # counting, LIFO stack peel that RECOMPUTES probe positions from
+        # h instead of materializing an (n, arity) matrix, reverse solve
+        # -- the reference's storage discipline (src/xorf.zig:111-220).
+        # Same SplitMix64 seed schedule; peel success is a 2-core
+        # property of (seed, keys) alone, so native and NumPy accept the
+        # SAME seed (pinned by tests/test_native.py).
+        cells = np.empty(2 * array_len, dtype=U64)  # {xormask, count}
+        queue = np.empty(array_len, dtype=np.uint32)
+        stack_h = np.empty(max(n, 1), dtype=U64)
+        stack_hi = np.empty(max(n, 1), dtype=np.uint8)
+        fp32 = np.zeros(array_len, dtype=np.uint32)
+        seed_out = ctypes.c_uint64(0)
+        attempts = lib.xorf_build(
+            np.ascontiguousarray(hashes, U64), n, arity, fp_bits,
+            np.uint32(header["segment_length"]),
+            np.uint64(header["segment_count_length"]), array_len,
+            np.uint64(_SEED_ROOT), _MAX_ATTEMPTS,
+            cells, queue, stack_h, stack_hi, fp32,
+            ctypes.byref(seed_out))
+        if attempts:
+            header["seed"] = int(seed_out.value)
+            return header, fp32.astype(dtype)
+        raise RuntimeError(
+            f"xorf construction failed after {_MAX_ATTEMPTS} seeds "
+            f"(n={n}, arity={arity}); keys not deduplicated?")
+
     for _ in range(_MAX_ATTEMPTS):
         seed = next_seed()
         header["seed"] = seed
         h = murmur64a_u64(hashes, seed)        # src/xorf.zig:7-9 apply_seed
         sub = _make_subhashes(arity, header, h)
-        if lib is not None:
-            # C queue-based peel + reverse solve (_native.c): probe
-            # positions still derive in NumPy (with the documented
-            # _HL_MIX deviation); success is peel-order-independent, so
-            # native and NumPy accept the same seeds
-            count = np.zeros(array_len, dtype=np.uint32)
-            xormask = np.zeros(array_len, dtype=U64)
-            rowmask = np.zeros(array_len, dtype=U64)
-            stack_cell = np.zeros(max(n, 1), dtype=np.uint32)
-            stack_row = np.zeros(max(n, 1), dtype=np.uint32)
-            queue = np.zeros(array_len + arity * n + 1, dtype=np.int64)
-            fp32 = np.zeros(array_len, dtype=np.uint32)
-            ok = lib.xorf_peel_solve(
-                n, np.ascontiguousarray(h, U64),
-                np.ascontiguousarray(sub, np.uint32), arity, array_len,
-                count, xormask, rowmask, stack_cell, stack_row, queue,
-                fp32, fp_bits)
-            if ok:
-                return header, fp32.astype(dtype)
-            continue
         flat = sub.ravel().astype(np.int64)
         count = np.bincount(flat, minlength=array_len).astype(np.int64)
         xormask = np.zeros(array_len, dtype=U64)

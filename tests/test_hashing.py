@@ -170,26 +170,29 @@ def test_xxh3_cross_check_wheel():
 
 
 def test_kernel_switch_and_envelope_guard():
-    """xxh3-built payloads must refuse to deserialize under the gxh64
+    """gxh64-built payloads must refuse to deserialize under the xxh3
     kernel (and vice versa) instead of silently false-negating."""
     import pytest
     from raysketch import hashing
     from raysketch.sketches import SbbfFilter, sketch_from_bytes
+    default = hashing.KERNEL
+    other = "gxh64" if default == "xxh3" else "xxh3"
     f = SbbfFilter.create(4, 10)
     f.insert(np.arange(100, dtype=np.uint64))
-    blob_gx = f.to_bytes()
-    hashing.set_kernel("xxh3")
+    blob_default = f.to_bytes()
+    hashing.set_kernel(other)
     try:
         assert hashing.hash_strings(pa.array(["abc"]))[0] != \
             hash_strings(pa.array(["abc"]), seed=1)[0]
         with pytest.raises(ValueError, match="hash kernel"):
-            sketch_from_bytes(blob_gx)
-        blob_xx = f.to_bytes()
+            sketch_from_bytes(blob_default)
+        blob_other = f.to_bytes()
     finally:
-        hashing.set_kernel("gxh64")
+        hashing.set_kernel(default)
     with pytest.raises(ValueError, match="hash kernel"):
-        sketch_from_bytes(blob_xx)
-    assert sketch_from_bytes(blob_gx).check(np.array([5], np.uint64))[0]
+        sketch_from_bytes(blob_other)
+    assert sketch_from_bytes(blob_default).check(
+        np.array([5], np.uint64))[0]
 
 
 def test_hash_column_chunked_matches_combined():

@@ -89,6 +89,58 @@ def test_gxh64_native_bit_identical(monkeypatch):
         assert np.array_equal(a, b)
 
 
+# --------------------------------------------------------------- xxh3
+def test_xxh3_native_bit_identical(monkeypatch):
+    """Native XXH3-64 must reproduce the NumPy implementation exactly at
+    every length-class boundary and under nonzero seeds (the envelope
+    stamp 'xxh3-v1' covers both paths; the NumPy side is itself pinned to
+    the published sanity vectors in tests/test_hashing.py)."""
+    import pyarrow as pa
+    from raysketch import hashing
+
+    rng = np.random.default_rng(43)
+    strings = [b""]
+    for ln in [1, 2, 3, 4, 8, 9, 16, 17, 32, 96, 97, 128, 129, 240, 241,
+               512, 1024, 1025, 2048, 5000]:
+        for _ in range(10):
+            strings.append(bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+    col = pa.array(strings, type=pa.binary())
+    offsets, data = hashing._string_buffers(col)
+
+    for seed in (0, 7, 2**63 + 11):
+        h_native = hashing._xxh3_bytes(offsets, data, seed=seed)
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_TRIED", True)
+        h_np = hashing._xxh3_bytes(offsets, data, seed=seed)
+        monkeypatch.setattr(native, "_LIB", lib)
+        assert np.array_equal(h_native, h_np), seed
+
+    # empty column / all-empty strings
+    for c in (pa.array([], type=pa.binary()),
+              pa.array([b"", b"", b""], type=pa.binary())):
+        off_e, dat_e = hashing._string_buffers(c)
+        a = hashing._xxh3_bytes(off_e, dat_e, seed=0)
+        monkeypatch.setattr(native, "_LIB", None)
+        b = hashing._xxh3_bytes(off_e, dat_e, seed=0)
+        monkeypatch.setattr(native, "_LIB", lib)
+        assert np.array_equal(a, b)
+
+
+def test_xxh3_native_published_vectors():
+    """The native kernel reproduces the published XXH3_64bits digests."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hashing import _XXH3_VECTORS, _xxh3_sanity_buffer
+    buf = _xxh3_sanity_buffer(2048)
+    lens = list(_XXH3_VECTORS)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    data = np.frombuffer(b"".join(buf[:k] for k in lens), np.uint8).copy()
+    out = np.empty(len(lens), dtype=np.uint64)
+    lib.xxh3_64_bytes(offs, data, len(lens), 0, out)
+    for ln, g, exp in zip(lens, out, _XXH3_VECTORS.values()):
+        assert int(g) == exp, f"len={ln}: {int(g):016X} != {exp:016X}"
+
+
 # -------------------------------------------------------------- ribbon
 @pytest.mark.parametrize("coeff_bits,result_bits",
                          [(64, 8), (64, 16), (128, 16), (128, 32)])
