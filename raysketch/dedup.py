@@ -219,6 +219,36 @@ def _collect_pairs(out_ds, extra: dict[str, str]) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+_ARROW_DTYPE = {"int64": pa.int64(), "float64": pa.float64()}
+
+
+def _empty_pairs_ds(extra: dict[str, str]):
+    """Empty pair Dataset with the operator's full output schema (the
+    collect=False twin of _collect_pairs' empty DataFrame)."""
+    import ray.data as rd
+    return rd.from_arrow(pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         **{c: pa.array([], _ARROW_DTYPE[t]) for c, t in extra.items()}}))
+
+
+def _pairs_result(out_ds, extra: dict[str, str], collect: bool):
+    """Final pair result under the two API contracts:
+
+    collect=True  -- small-result contract: driver DataFrame sorted by
+                     (doc_a, doc_b) (unchanged historical behavior).
+    collect=False -- scale contract: the distributed, UNSORTED pair
+                     Dataset itself; at 100 TB verified near-dup pairs
+                     can exceed driver RAM, so the caller streams them to
+                     a sink (e.g. resumable_write) instead of collecting.
+    """
+    if out_ds is None:
+        out_ds = _empty_pairs_ds(extra)
+    if not collect:
+        return out_ds
+    return _collect_pairs(out_ds, extra)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -451,7 +481,8 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
                       threshold: float = 0.5, concurrency: int = 4,
                       num_partitions: int = 8,
                       hot_cap: int = HOT_BUCKET_CAP,
-                      sigs=None, cand=None, pairs=None):
+                      sigs=None, cand=None, pairs=None,
+                      collect: bool = True):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
 
     Candidates come from banded LSH; verification hash-joins the full
@@ -462,16 +493,14 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm: int = 128,
 
     `sigs`/`cand`/`pairs` accept precomputed intermediates from the same
     corpus+parameters (see _minhash_verified_pairs_ds); `pairs` short-
-    circuits straight to collection."""
+    circuits straight to collection.  collect=False returns the
+    distributed pair Dataset instead of a driver DataFrame (see
+    _pairs_result)."""
     out = pairs if pairs is not None else _minhash_verified_pairs_ds(
         ds, text_col, id_col, num_perm, bands,
         shingle_k, threshold, concurrency,
         num_partitions, hot_cap, sigs=sigs, cand=cand)
-    if out is None:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "est_jaccard": pd.Series([], dtype="float64")})
-    return _collect_pairs(out, {"est_jaccard": "float64"})
+    return _pairs_result(out, {"est_jaccard": "float64"}, collect)
 
 
 def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
@@ -583,7 +612,7 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
                         bands: int = 32, concurrency: int = 4,
                         num_partitions: int = 8,
                         hot_cap: int = HOT_BUCKET_CAP,
-                        sigs=None, cand=None):
+                        sigs=None, cand=None, collect: bool = True):
     """Near-duplicate pairs by EXACT character-n-gram Jaccard similarity
     (doc_a < doc_b, jaccard >= threshold).
 
@@ -594,14 +623,15 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
     all pairs in the batch (no per-pair python loop).
 
     `sigs`/`cand` accept precomputed intermediates from the same
-    corpus+parameters (see _minhash_verified_pairs_ds)."""
+    corpus+parameters (see _minhash_verified_pairs_ds); collect=False
+    returns the distributed pair Dataset (see _pairs_result)."""
     if sigs is None:
         sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
                                   concurrency).materialize()
     if cand is None:
         cand = _lsh_candidates(sigs, num_perm, bands, hot_cap).materialize()
     if cand.count() == 0:
-        return _collect_pairs(cand, {"jaccard": "float64"})
+        return _pairs_result(None, {"jaccard": "float64"}, collect)
     cand = _compact(cand, num_partitions).materialize()
 
     need = (cand.map_batches(
@@ -654,7 +684,7 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
         }).filter(pa.array(keep))
 
     out = joined.map_batches(verify, batch_format="pyarrow")
-    return _collect_pairs(out, {"jaccard": "float64"})
+    return _pairs_result(out, {"jaccard": "float64"}, collect)
 
 
 # ---------------------------------------------------------------------------
@@ -687,11 +717,13 @@ def simhash_batch(texts_col: pa.Array) -> np.ndarray:
 
 
 def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
-                  num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP):
+                  num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP,
+                  collect: bool = True):
     """Near-dup pairs by SimHash: pigeonhole over 4 x 16-bit bands (any pair
     with hamming <= 3 must agree exactly on >= 1 band); candidates are
     verified by exact Hamming distance after hash-joining the simhashes
-    onto the pair rows (vectorized SWAR popcount, no driver dict)."""
+    onto the pair rows (vectorized SWAR popcount, no driver dict).
+    collect=False returns the distributed pair Dataset (_pairs_result)."""
 
     def compute(batch: pa.Table) -> pa.Table:
         sh = simhash_batch(batch[text_col])
@@ -722,7 +754,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
                             batch_format="pandas"))
     cand = _distinct_pairs(cand).materialize()
     if cand.count() == 0:
-        return _collect_pairs(cand, {"hamming": "int64"})
+        return _pairs_result(None, {"hamming": "int64"}, collect)
     joined = _attach(_compact(cand, num_partitions), sigs, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -736,7 +768,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
         }).filter(pa.array(keep))
 
     out = joined.map_batches(verify, batch_format="pyarrow")
-    return _collect_pairs(out, {"hamming": "int64"})
+    return _pairs_result(out, {"hamming": "int64"}, collect)
 
 
 # ---------------------------------------------------------------------------
@@ -746,10 +778,14 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 class _HyperplaneLSH:
     """Stateful bucketing stage: the random hyperplanes for ALL hash
     tables are generated ONCE per actor in __init__ (seeded, so every
-    actor derives the identical planes), not per batch.  Emits one
-    (bucket_key, doc_id, unit) row per (vector, table): a pair missed by
-    one table's cut still collides in another (recall recovery), and the
-    table index is folded into the bucket key so tables never mix."""
+    actor derives the identical planes), not per batch.  Emits one SLIM
+    (part, bkey, doc_id) row per (vector, table) -- 20 bytes/row through
+    the bucket shuffle; the unit vectors do NOT ride this exchange (at
+    1024-dim float64 that would be 8 KiB x num_tables per vector), they
+    are hash-joined onto the verified candidate pairs later.  A pair
+    missed by one table's cut still collides in another (recall
+    recovery), and the table index is folded into the bucket key so
+    tables never mix."""
 
     def __init__(self, vec_col: str, id_col: str, bits: int, lsh_seed: int,
                  num_tables: int, parts: int):
@@ -768,11 +804,8 @@ class _HyperplaneLSH:
             rng = np.random.default_rng(self.seed)
             self.planes = rng.standard_normal(
                 (self.num_tables, vecs.shape[1], self.bits))
-        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norm[norm == 0] = 1
-        unit = vecs / norm
         ids = np.asarray(batch[self.id_col])
-        keys, out_ids, units = [], [], []
+        keys, out_ids = [], []
         for t in range(self.num_tables):
             proj = vecs @ self.planes[t] > 0
             key = np.bitwise_or.reduce(
@@ -780,14 +813,11 @@ class _HyperplaneLSH:
                 << np.arange(self.bits, dtype=np.uint64), axis=1)
             keys.append(murmur64a_u64(key, 3000 + t))  # table folded in
             out_ids.append(ids)
-            units.append(unit)
-        key = np.concatenate(keys)
-        unit_all = np.concatenate(units, axis=0)
+        bkey = np.concatenate(keys)
         return pa.table({
-            "part": pa.array((key % U64(self.parts)).astype(np.int32)),
-            "key": pa.array(key.view(np.int64), pa.int64()),
+            "part": pa.array((bkey % U64(self.parts)).astype(np.int32)),
+            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
             "doc_id": pa.array(np.concatenate(out_ids)),
-            "unit": pa.array(list(unit_all), pa.list_(pa.float64())),
         })
 
 
@@ -796,66 +826,23 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
                             lsh_seed: int = 7, concurrency: int = 4,
                             cap: int = 2000, num_tables: int = 2,
                             num_partitions: int = 8,
-                            shuffle_parts: int | None = None):
+                            shuffle_parts: int | None = None,
+                            collect: bool = True):
     """Cosine near-dup via random-hyperplane LSH bucketing + exact verify.
 
     Stage 1 (actor pool, planes built once per actor): project each vector
     on `bits` fixed hyperplanes per hash table -> num_tables bucket keys;
-    only same-bucket docs meet.  Pairs are verified by exact cosine inside
-    the bucket group; buckets above `cap` members are chunked
-    deterministically (logged, not dropped).  The same pair can surface
-    from several tables, so pairs are deduped DISTRIBUTED
-    (groupby(doc_a, doc_b).max(cosine) -- cosines of duplicate sightings
-    are identical) before only the final verified pairs reach the driver;
-    shuffle partitioning is sized from the cluster (_shuffle_parts)."""
-
-    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
-        """One shuffle partition = many buckets: lexsort finds the bucket
-        runs; each run is verified by exact cosine (chunked above `cap`)."""
-        empty = pd.DataFrame({"doc_a": np.zeros(0, np.int64),
-                              "doc_b": np.zeros(0, np.int64),
-                              "cosine": np.zeros(0, np.float64)})
-        if len(g) < 2:
-            return empty
-        k = g["key"].values
-        ids_all = g["doc_id"].values.astype(np.int64)
-        order = np.lexsort((ids_all, k))
-        k_s, id_s = k[order], ids_all[order]
-        units_all = np.stack(g["unit"].values)[order]
-        bounds = np.flatnonzero(np.concatenate(
-            [[True], k_s[1:] != k_s[:-1], [True]]))
-        out_a, out_b, out_c = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            n = e - s
-            if n < 2:
-                continue
-            ids = id_s[s:e]
-            units = units_all[s:e]
-            chunks = [np.arange(n)]
-            if n > cap:
-                print(f"[raysketch.dedup] hot embedding bucket: {n} members"
-                      f" > cap {cap}; verifying within-chunk pairs only")
-                salt = int(k_s[s]) & _M64
-                perm = np.argsort(murmur64a_u64(ids.view(U64), salt))
-                chunks = [np.sort(perm[c:c + cap])
-                          for c in range(0, n, cap)]
-            for sel in chunks:
-                if len(sel) < 2:
-                    continue
-                sim = units[sel] @ units[sel].T
-                a, b = np.triu_indices(len(sel), k=1)
-                mask = sim[a, b] >= threshold
-                out_a.append(ids[sel[a[mask]]])
-                out_b.append(ids[sel[b[mask]]])
-                out_c.append(sim[a[mask], b[mask]])
-        if not out_a:
-            return empty
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b),
-                             "cosine": np.concatenate(out_c)})
-
-    from ray.data.aggregate import Max
-
+    only same-bucket docs meet.  The bucket shuffle moves SLIM
+    (part, bkey, doc_id) rows only -- unit vectors never ride the
+    exchange duplicated per table (at 1024-dim that is 8 KiB x tables per
+    vector).  Candidate pairs are emitted per bucket run (buckets above
+    `cap` members chunked deterministically -- logged, not dropped),
+    dedup'd DISTRIBUTED across tables (groupby(doc_a, doc_b)), and only
+    then are the float64 unit vectors hash-joined onto each distinct
+    pair's two sides for the exact-cosine verify -- each unit ships once
+    per surviving candidate side instead of once per (vector, table).
+    Shuffle partitioning is sized from the cluster (_shuffle_parts).
+    collect=False returns the distributed pair Dataset (_pairs_result)."""
     bucketed = ds.map_batches(
         _HyperplaneLSH, batch_format="pyarrow",
         fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
@@ -863,17 +850,52 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
                                    num_tables=num_tables,
                                    parts=_shuffle_parts(shuffle_parts)),
         concurrency=pool(concurrency))
-    verified = (bucketed.groupby("part")
-                        .map_groups(pairs_of_partition,
-                                    batch_format="pandas"))
-    # distributed distinct (a pair can surface from every table): never a
-    # driver-side drop_duplicates over the raw multi-table pair stream
-    distinct = (verified.groupby(["doc_a", "doc_b"])
-                        .aggregate(Max("cosine", alias_name="cosine")))
-    out = distinct.to_pandas()
-    if not len(out):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    return (out[["doc_a", "doc_b", "cosine"]]
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    cand = (bucketed.groupby("part")
+                    .map_groups(_pairs_partition_fn(cap),
+                                batch_format="pandas"))
+    # distributed distinct (a pair can surface from every table) BEFORE
+    # the verify join: each pair is cosine-verified exactly once
+    cand = _distinct_pairs(cand).materialize()
+    if cand.count() == 0:
+        return _pairs_result(None, {"cosine": "float64"}, collect)
+
+    def to_unit(batch: pa.Table) -> pa.Table:
+        # float64 unit vectors as fixed-width binary blobs: Acero joins
+        # (inside Dataset.join) reject list<double> payload columns, and
+        # blobs round-trip zero-copy via frombuffer at verify time
+        vecs = np.stack(batch[vec_col].to_pandas().values
+                        ).astype(np.float64)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        unit = np.ascontiguousarray(vecs / norm)
+        n, d = unit.shape
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None,
+             pa.py_buffer((np.arange(n + 1, dtype=np.int64) * d * 8)
+                          .tobytes()),
+             pa.py_buffer(unit.tobytes())])
+        return pa.table({"doc_id": batch[id_col], "unit": blobs})
+
+    units = ds.map_batches(to_unit, batch_format="pyarrow").materialize()
+    joined = _attach(_compact(cand, num_partitions), units, num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:  # reshape(0, -1) is ill-defined
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ua = np.frombuffer(b"".join(batch["unit_a"].to_pylist()),
+                           np.float64).reshape(n, -1)
+        ub = np.frombuffer(b"".join(batch["unit_b"].to_pylist()),
+                           np.float64).reshape(n, -1)
+        cos = np.einsum("ij,ij->i", ua, ub)
+        keep = cos >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "cosine": pa.array(cos),
+        }).filter(pa.array(keep))
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return _pairs_result(out, {"cosine": "float64"}, collect)

@@ -291,3 +291,67 @@ def test_neardup_dedup_nonconvergence_warns(ray_session):
     # but no row may vanish: every survivor is a real doc and doc 0 stays
     assert 0 in set(out["doc_id"])
     assert set(out["doc_id"]) <= set(range(9))
+
+
+def test_pairs_collect_false_dataset_contract(ray_session, tmp_path):
+    """collect=False returns a DISTRIBUTED pair Dataset (never a driver
+    DataFrame) whose rows equal the collected result, and the Dataset can
+    be streamed to a resumable partitioned sink without driver
+    collection -- the 100-TB contract for pair outputs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from raysketch.dedup import minhash_lsh_pairs, simhash_pairs
+    from raysketch.pipeline import resumable_write
+
+    ds = _docs_with_dups(ray_session)
+    df = minhash_lsh_pairs(ds, "text", "doc_id", num_perm=128, bands=32,
+                           threshold=0.5)
+    pairs_ds = minhash_lsh_pairs(ds, "text", "doc_id", num_perm=128,
+                                 bands=32, threshold=0.5, collect=False)
+    assert isinstance(pairs_ds, rd.Dataset)
+    got = (pairs_ds.to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, df)
+
+    out_dir = str(tmp_path / "pairs")
+    manifest = resumable_write(pairs_ds, out_dir, "doc_a", num_shards=4)
+    assert manifest["n_rows"].sum() == len(df)
+    import glob
+    files = sorted(glob.glob(out_dir + "/shard_*.parquet"))
+    back = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    back = back.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[df.columns.tolist()], df)
+
+    # simhash: Dataset contract on the no-candidate path too
+    empty = simhash_pairs(rd.from_items(
+        [{"doc_id": 1, "text": "alpha beta"},
+         {"doc_id": 2, "text": "totally different words here"}]),
+        "text", "doc_id", max_hamming=0, collect=False)
+    assert isinstance(empty, rd.Dataset)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"doc_a", "doc_b", "hamming"}
+
+
+def test_embedding_pairs_collect_false(ray_session):
+    """embedding_neardup_pairs collect=False: Dataset rows match the
+    collected DataFrame (same pairs, same cosines)."""
+    import ray.data as rd
+    from raysketch.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    for i in range(6):
+        v = base[i] + rng.standard_normal(16) * 0.01
+        rows.append({"vec_id": 300 + i, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    df = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.98,
+                                 bits=8, num_tables=2)
+    got = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.98,
+                                  bits=8, num_tables=2, collect=False)
+    assert isinstance(got, rd.Dataset)
+    got_df = (got.to_pandas().sort_values(["doc_a", "doc_b"])
+              .reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got_df, df)
+    assert len(df) >= 5  # planted near-dups found
