@@ -14,6 +14,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -292,18 +294,96 @@ def _q_bottomk_url_sample(sf_dir: str):
     })
 
 
+_FPR_PROBES = 1 << 20  # ~1M absent keys: 2^-16 configs expect ~16 FPs
+
+
+_SBBF_FPR_CACHE: dict[tuple[int, int], tuple[float, float]] = {}
+
+
+def _sbbf_expected_fpr(bits_per_key: int,
+                       n_keys: int) -> tuple[float, float]:
+    """(expected FPR, its standard error) of THIS sbbf construction,
+    measured by a fixed-seed synthetic calibration build at the SAME
+    per-partition key count.  Two idealized models both fail here:
+
+    - the Poisson model E_k~Pois(512/z)[(1-(63/64)^k)^8] UNDERSTATES
+      the real FPR (1.6x at 24 bits/key): each lane's bit index is bits
+      27..32 of h*SALT[j] (src/sbbf.zig:80,55), all linear in h, so
+      lane collisions between a probe and one inserted key are strongly
+      positively correlated beyond 2 joint lanes (measured: 4-lane
+      joint pair-collision is 4.2x the independent prediction);
+    - the FPR is NOT a function of bits_per_key alone: the multiply-
+      shift block index makes same-block key pairs have low32 deltas
+      bounded by 2^32/num_blocks, so more blocks => closer deltas =>
+      stronger lane correlation (measured z=24: 7.8e-5 at 1.9k keys ->
+      1.39e-4 at 400k keys, same lambda).
+
+    So the calibration uses the probed table's own per-partition n_keys
+    (rounded to 2 significant figures for caching) and averages SEVERAL
+    independent builds: a small filter's FPR varies 2-5% relative from
+    build to build (the correlated-pair contribution depends on the
+    drawn key set), which dwarfs probe-side binomial error -- and the
+    probed corpus filter is itself one such random build, so the
+    returned standard error includes one full build-sd for the corpus
+    side plus the calibration mean's own error."""
+    n_cal = max(int(float(f"{n_keys:.1e}")), 100)
+    key = (bits_per_key, n_cal)
+    if key not in _SBBF_FPR_CACHE:
+        from raysketch.sketches.sbbf import SbbfFilter
+        rng = np.random.default_rng(0xC0FFEE)
+        absent = rng.integers(0, 2 ** 64, 2_000_000, dtype=np.uint64)
+        m = 6
+        fprs = []
+        for _ in range(m):
+            keys = np.unique(rng.integers(0, 2 ** 64, n_cal,
+                                          dtype=np.uint64))
+            f = SbbfFilter.build(keys, bits_per_key=bits_per_key)
+            probes = absent[~np.isin(absent, keys)]
+            fprs.append(float(f.check(probes).sum()) / len(probes))
+        p = float(np.mean(fprs))
+        build_var = float(np.var(fprs, ddof=1))
+        # corpus filter is one random build (+build_var) and the
+        # calibration mean carries build_var/m + probe binomial error
+        sd = math.sqrt(build_var * (1 + 1 / m)
+                       + max(p * (1 - p), 1e-18) / (m * len(absent)))
+        _SBBF_FPR_CACHE[key] = (p, sd)
+    return _SBBF_FPR_CACHE[key]
+
+
+def _expected_fpr(kind: str, params: dict,
+                  keys_per_partition: int) -> tuple[float, float]:
+    """(expected FPR, standard error of that expectation) of a config.
+    xorf/ribbon: exactly 2^-fp_bits (uniform fingerprint collision,
+    zero model error).  sbbf: empirical calibration (see above)."""
+    if kind == "xorf":
+        return 2.0 ** -params["fp_bits"], 0.0
+    if kind == "ribbon":
+        return 2.0 ** -params["result_bits"], 0.0
+    return _sbbf_expected_fpr(params["bits_per_key"], keys_per_partition)
+
+
 def _q_fpr_report(sf_dir: str):
-    """The bench observable (reference src/bench.zig:221-238): per filter
-    config, probe 4096 known-absent keys, report FPR + space overhead +
-    the reference's query-cost model (cost = hits * 200_000ns +
-    query_time_ns, each false positive charged a simulated 200us disk
-    read -- reference README.md:54, src/bench.zig:82)."""
+    """The bench observable (reference src/bench.zig:221-238, 204,800
+    absent probes there): per filter config, probe 2^20 known-absent
+    keys (vectorized generation -- at 4096 probes every 2^-16 config
+    read 0.0 false positives and verified nothing), report the measured
+    FPR against the config's theoretical target with a 4-sigma binomial
+    bound (within_bound column), space overhead, and the reference's
+    query-cost model (cost = hits * 200_000ns + query_time_ns, each
+    false positive charged a simulated 200us disk read -- reference
+    README.md:54, src/bench.zig:82)."""
     import time as _t
 
     import ray.data as rd
-    absent = _cached(("absent", sf_dir), lambda: rd.from_items(
-        [{"url": f"https://absent-{i}.nowhere.example.net/x/{i}"}
-         for i in range(4096)]).repartition(1).materialize())
+
+    def absent_urls(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["id"], pa.string())
+        return pa.table({"url": pc.binary_join_element_wise(
+            "https://absent-", ids, ".nowhere.example.net/x", "/")})
+
+    absent = _cached(("absent", sf_dir), lambda: rd.range(
+        _FPR_PROBES, override_num_blocks=8).map_batches(
+            absent_urls, batch_format="pyarrow").materialize())
     rows = []
     for name, (kind, params) in _FILTER_CONFIGS.items():
         ft = _cached_ft(sf_dir, kind, params)
@@ -313,11 +393,20 @@ def _q_fpr_report(sf_dir: str):
         query_ns = int((_t.perf_counter() - t0) * 1e9)
         mem = int(pdf["mem_bytes"].sum())
         ideal = int(pdf["ideal_bytes"].sum())
+        p, p_sd = _expected_fpr(kind, params,
+                                int(pdf["n_keys"].median()))
+        expected_fp = _FPR_PROBES * p
+        # 4-sigma combining probe-side binomial variance with the
+        # calibration's own standard error (scaled to probe counts)
+        bound = 4.0 * math.sqrt(_FPR_PROBES * p * (1 - p)
+                                + (_FPR_PROBES * p_sd) ** 2) + 1.0
         rows.append({
             "config": name, "kind": kind,
             "n_keys": int(pdf["n_keys"].sum()),
-            "n_queries": 4096, "false_positives": int(hits),
-            "fpr": float(hits) / 4096,
+            "n_queries": _FPR_PROBES, "false_positives": int(hits),
+            "fpr": float(hits) / _FPR_PROBES,
+            "expected_fpr": p, "expected_fp": expected_fp,
+            "within_bound": bool(abs(hits - expected_fp) <= bound),
             "mem_bytes": mem, "ideal_bytes": ideal,
             "space_overhead": mem / ideal - 1 if ideal else 0.0,
             "build_s_sum": float(pdf["build_s"].sum()),
