@@ -133,13 +133,26 @@ static const uint64_t SBBF_SALT[8] = {
     0x705495C7u, 0x2DF1424Bu, 0x9EFC4947u, 0x5C6BFB31u
 };
 
+/* Both loops software-pipeline the random block access: each key's
+ * 64-byte block is prefetched SBBF_PF keys ahead so the (DRAM/L3) miss
+ * overlaps the salt multiplies of preceding keys.  Bit-identity is
+ * unaffected: inserts are commutative ORs and check is read-only. */
+#define SBBF_PF 16
+
+static inline uint64_t sbbf_block_of(uint64_t hh, int64_t num_blocks)
+{
+    return (((uint64_t)num_blocks * (hh & 0xFFFFFFFFull)) >> 32) * 8;
+}
+
 void sbbf_insert(uint64_t *words, int64_t num_blocks, const uint64_t *h,
                  int64_t n)
 {
     for (int64_t i = 0; i < n; i++) {
+        if (i + SBBF_PF < n)
+            __builtin_prefetch(
+                &words[sbbf_block_of(h[i + SBBF_PF], num_blocks)], 1, 1);
         uint64_t hh = h[i];
-        uint64_t block =
-            (((uint64_t)num_blocks * (hh & 0xFFFFFFFFull)) >> 32) * 8;
+        uint64_t block = sbbf_block_of(hh, num_blocks);
         for (int j = 0; j < 8; j++)
             words[block + j] |= 1ull << (((hh * SBBF_SALT[j]) >> 27) & 63);
     }
@@ -149,9 +162,11 @@ void sbbf_check(const uint64_t *words, int64_t num_blocks,
                 const uint64_t *h, int64_t n, uint8_t *out)
 {
     for (int64_t i = 0; i < n; i++) {
+        if (i + SBBF_PF < n)
+            __builtin_prefetch(
+                &words[sbbf_block_of(h[i + SBBF_PF], num_blocks)], 0, 1);
         uint64_t hh = h[i];
-        uint64_t block =
-            (((uint64_t)num_blocks * (hh & 0xFFFFFFFFull)) >> 32) * 8;
+        uint64_t block = sbbf_block_of(hh, num_blocks);
         uint8_t ok = 1;
         for (int j = 0; j < 8; j++) {
             uint64_t mask = 1ull << (((hh * SBBF_SALT[j]) >> 27) & 63);
