@@ -13,6 +13,7 @@
 
 #include <stddef.h>
 #include <stdint.h>
+#include <string.h>
 
 typedef unsigned __int128 u128;
 
@@ -293,8 +294,76 @@ static inline uint32_t ribbon_fold_##T(const T *sol, uint64_t pos,      \
     return acc;                                                         \
 }
 RIBBON_FOLD(uint8_t)
-RIBBON_FOLD(uint16_t)
-RIBBON_FOLD(uint32_t)
+
+/* u16/u32 folds process 4 (resp. 2) solution rows per unaligned u64
+ * load with a carry-free SWAR mask: the multiplier places coefficient
+ * bit k at lane boundary 16k (positions {j+15k'} are pairwise distinct
+ * for j<4, so no carries), the AND keeps one bit per lane, and the
+ * final multiply widens it to a full-lane mask.  XOR is associative,
+ * so folding 64-bit lanes at the end is bit-identical to the scalar
+ * row loop (probe parity incl. FP patterns pinned by
+ * tests/test_native.py).  nbits is 32 or 64, always a multiple of the
+ * lane count, and the band read stays inside [pos, pos+coeff_bits). */
+static inline uint32_t ribbon_fold_uint16_t(const uint16_t *sol,
+                                            uint64_t pos, uint64_t lo,
+                                            uint64_t hi, int nbits,
+                                            int use_hi)
+{
+    uint64_t acc = 0;
+    const uint8_t *base = (const uint8_t *)(sol + pos);
+    for (int k = 0; k < (nbits >> 2); k++) {
+        uint64_t w;
+        memcpy(&w, base + 8 * k, 8);
+        uint64_t b = (lo >> (4 * k)) & 0xFull;
+        uint64_t m = ((b * 0x0000200040008001ull)
+                      & 0x0001000100010001ull) * 0xFFFFull;
+        acc ^= w & m;
+    }
+    if (use_hi) {
+        const uint8_t *b2 = (const uint8_t *)(sol + pos + 64);
+        for (int k = 0; k < 16; k++) {
+            uint64_t w;
+            memcpy(&w, b2 + 8 * k, 8);
+            uint64_t b = (hi >> (4 * k)) & 0xFull;
+            uint64_t m = ((b * 0x0000200040008001ull)
+                          & 0x0001000100010001ull) * 0xFFFFull;
+            acc ^= w & m;
+        }
+    }
+    acc ^= acc >> 32;
+    acc ^= acc >> 16;
+    return (uint32_t)(acc & 0xFFFFull);
+}
+
+static inline uint32_t ribbon_fold_uint32_t(const uint32_t *sol,
+                                            uint64_t pos, uint64_t lo,
+                                            uint64_t hi, int nbits,
+                                            int use_hi)
+{
+    uint64_t acc = 0;
+    const uint8_t *base = (const uint8_t *)(sol + pos);
+    for (int k = 0; k < (nbits >> 1); k++) {
+        uint64_t w;
+        memcpy(&w, base + 8 * k, 8);
+        uint64_t b = (lo >> (2 * k)) & 0x3ull;
+        uint64_t m = ((b * 0x0000000080000001ull)
+                      & 0x0000000100000001ull) * 0xFFFFFFFFull;
+        acc ^= w & m;
+    }
+    if (use_hi) {
+        const uint8_t *b2 = (const uint8_t *)(sol + pos + 64);
+        for (int k = 0; k < 32; k++) {
+            uint64_t w;
+            memcpy(&w, b2 + 8 * k, 8);
+            uint64_t b = (hi >> (2 * k)) & 0x3ull;
+            uint64_t m = ((b * 0x0000000080000001ull)
+                          & 0x0000000100000001ull) * 0xFFFFFFFFull;
+            acc ^= w & m;
+        }
+    }
+    acc ^= acc >> 32;
+    return (uint32_t)acc;
+}
 
 void ribbon_check(const uint64_t *hashes, int64_t n, uint64_t seed,
                   int coeff_bits, int result_bits, const void *sol,
