@@ -35,22 +35,36 @@ _C_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _build_and_load():
     with open(_C_SRC, "rb") as fh:
         src = fh.read()
-    digest = hashlib.sha256(src).hexdigest()[:16]
+    # the build recipe participates in the content address so a flag
+    # change rebuilds (same source + new flags must not reuse the old .so)
+    digest = hashlib.sha256(src + b"|flags:march-native-v1").hexdigest()[:16]
     lib_dir = os.path.join(tempfile.gettempdir(), f"raysketch-native-{digest}")
     lib_path = os.path.join(lib_dir, "libraysketch.so")
     if not os.path.exists(lib_path):
         os.makedirs(lib_dir, exist_ok=True)
         tmp = os.path.join(lib_dir, f".build-{os.getpid()}.so")
-        for cc in ("gcc", "cc", "clang"):
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _C_SRC],
-                    check=True, capture_output=True, timeout=120)
-                os.replace(tmp, lib_path)
+        # -march=native first: the .so is content-addressed PER MACHINE
+        # (never shipped), and POPCNT/TZCNT/BMI make __builtin_parityll /
+        # ctzll single instructions (the ribbon backsub/eliminate hot
+        # ops compile to multi-op shift-xor sequences under the plain
+        # x86-64 baseline).  Fall back to baseline flags for compilers /
+        # targets that reject it.
+        built = False
+        for flags in (["-O3", "-march=native"], ["-O3"]):
+            for cc in ("gcc", "cc", "clang"):
+                try:
+                    subprocess.run(
+                        [cc, *flags, "-shared", "-fPIC", "-o", tmp,
+                         _C_SRC],
+                        check=True, capture_output=True, timeout=120)
+                    os.replace(tmp, lib_path)
+                    built = True
+                    break
+                except (OSError, subprocess.SubprocessError):
+                    continue
+            if built:
                 break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        else:
+        if not built:
             return None
     lib = ctypes.CDLL(lib_path)
 
