@@ -338,7 +338,12 @@ def _sbbf_expected_fpr(bits_per_key: int,
             keys = np.unique(rng.integers(0, 2 ** 64, n_cal,
                                           dtype=np.uint64))
             f = SbbfFilter.build(keys, bits_per_key=bits_per_key)
-            probes = absent[~np.isin(absent, keys)]
+            # membership via searchsorted on the sorted-unique keys
+            # (np.isin's sort-based path re-sorts the 2M probes per
+            # build -- ~30s per config; this is ~0.2s)
+            idx = np.searchsorted(keys, absent)
+            idx[idx == len(keys)] = len(keys) - 1
+            probes = absent[keys[idx] != absent]
             fprs.append(float(f.check(probes).sum()) / len(probes))
         p = float(np.mean(fprs))
         build_var = float(np.var(fprs, ddof=1))
