@@ -931,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_urls_exact": _q_dedup_urls,
         "distinct_url_count": _q_distinct_url_count,
         "host_freq": _q_host_freq,
+        "distinct_urls_per_host": _q_distinct_urls_per_host,
         "text_len_quantiles_exact": _q_text_len_quantiles,
         "events_semijoin_filter_verify": _q_events_semijoin,
     }
@@ -985,7 +986,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_images_stub": _q_resize_images,
         "audio_features_stub": _q_audio_features,
         "video_frame_sample_stub": _q_sample_frames,
-        "distinct_urls_per_host": _q_distinct_urls_per_host,
         "hll_urls_per_host": _q_hll_urls_per_host,
     })
     return q
