@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysketch.pages import HOST_SQL, PAGES_SQL, host_of, pages_dataset
+from raysketch.util import read_parquet_sized
 from raysketch.text import BPE_PATTERN
 from raysketch.hashing import hash_strings
 from raysketch.pipeline import (build_filter_table, distinct_keys,
@@ -104,13 +105,13 @@ def _cached_ft(sf_dir: str, kind: str, params: dict,
 
 def _cached_docs(sf_dir: str, cols: tuple = ("doc_id", "text")):
     import ray.data as rd
-    return _cached(("docs", sf_dir, cols), lambda: rd.read_parquet(
+    return _cached(("docs", sf_dir, cols), lambda: read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=list(cols)).materialize())
 
 
 def _cached_emb(sf_dir: str):
     import ray.data as rd
-    return _cached(("emb", sf_dir), lambda: rd.read_parquet(
+    return _cached(("emb", sf_dir), lambda: read_parquet_sized(
         f"{sf_dir}/embeddings.parquet").materialize())
 
 
@@ -167,9 +168,9 @@ def _q_text_len_quantiles(sf_dir: str):
 
 def _q_events_semijoin(sf_dir: str):
     import ray.data as rd
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id"])
-    cust = rd.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
     ).map_batches(
@@ -443,7 +444,7 @@ def _q_token_stats(sf_dir: str):
 def _q_exact_dedup_docs(sf_dir: str):
     import ray.data as rd
     from raysketch.dedup import exact_dedup
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet")
     return exact_dedup(docs, "text", "doc_id")
 
 
@@ -641,9 +642,9 @@ def _set_op_query(op: str):
     def run(sf_dir: str):
         import ray.data as rd
         from raysketch.pipeline import key_set_op
-        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+        cust = read_parquet_sized(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey"])
-        events = rd.read_parquet(f"{sf_dir}/events.parquet",
+        events = read_parquet_sized(f"{sf_dir}/events.parquet",
                                  columns=["user_id"])
         return key_set_op(cust, "c_custkey", events, "user_id", op=op,
                           key_name="custkey")
@@ -665,7 +666,7 @@ def _round_sum(ds):
 def _q_tumbling_hourly(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import tumbling_window_agg
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["ts", "event_type", "value"])
     return _round_sum(
         tumbling_window_agg(events, "ts", 3600, ["event_type"], "value"))
@@ -674,7 +675,7 @@ def _q_tumbling_hourly(sf_dir: str):
 def _q_hopping_events(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import hopping_window_agg
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["ts", "event_type", "value"])
     return _round_sum(hopping_window_agg(events, "ts", 3600, 1800,
                                          ["event_type"], "value"))
@@ -685,7 +686,7 @@ def _q_distinct_users_per_hour(sf_dir: str):
     shuffle on the pair, then a per-window count (same shape as
     distinct_urls_per_host)."""
     import ray.data as rd
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["ts", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -708,7 +709,7 @@ def _q_distinct_users_per_hour(sf_dir: str):
 def _q_session_windows(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import session_windows
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["user_id", "ts", "value"])
     return _round_sum(
         session_windows(events, "user_id", "ts", "value", gap_s=1800))
@@ -717,9 +718,9 @@ def _q_session_windows(sf_dir: str):
 def _q_events_orders_asof(sf_dir: str):
     import ray.data as rd
     from raysketch.windows import asof_join
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
     out = asof_join(events, "user_id", "ts", "event_id",

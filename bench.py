@@ -54,6 +54,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                                     distinct_keys, grouped_count, probe,
                                     semijoin_filter_verify, sketch_aggregate)
     from raysketch.sketches import CmsSketch, HllSketch, KllSketch
+    from raysketch.util import read_parquet_sized
     timings: dict[str, float] = {}
     stats: dict[str, float] = {}
     calib_before = _calibrate()
@@ -124,7 +125,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             pc.cast(t["l_linenumber"], pa.string()), "")
         return pa.table({"key": k})
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber"]
                          ).map_batches(li_keys, batch_format="pyarrow"
                                        ).materialize()
@@ -155,9 +156,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                                 key_name="host", count_name="n").count())
 
     def semi_job():
-        events = rd.read_parquet(f"{sf_dir}/events.parquet",
+        events = read_parquet_sized(f"{sf_dir}/events.parquet",
                                  columns=["event_id", "user_id"])
-        cust = rd.read_parquet(
+        cust = read_parquet_sized(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_mktsegment"]).map_batches(
             lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))

@@ -76,17 +76,19 @@ def _orders_dup_pages(t: pa.Table) -> pa.Table:
 
 def pages_dataset(sf_dir: str):
     """Pages table as a streaming ray.data.Dataset (documents + orders +
-    5% duplicate injection).  Column pruning happens at the parquet read."""
-    import ray.data as rd
+    5% duplicate injection).  Column pruning happens at the parquet read;
+    block counts are file-size-derived (read_parquet_sized) so the 3-way
+    union doesn't explode into ~6x-cpu micro-blocks at small scale."""
+    from raysketch.util import read_parquet_sized
 
-    docs = rd.read_parquet(
+    docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     ).map_batches(_docs_to_pages, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=_ORDERS_COLS,
     ).map_batches(_orders_to_pages, batch_format="pyarrow")
-    dups = rd.read_parquet(
+    dups = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=_ORDERS_COLS,
     ).map_batches(_orders_dup_pages, batch_format="pyarrow")
     return docs.union(orders).union(dups)

@@ -200,7 +200,8 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         built = built.materialize()
         if built.count() > 0:
             built.write_parquet(parts_dir)
-        return rd.read_parquet(parts_dir)
+        from raysketch.util import read_parquet_sized
+        return read_parquet_sized(parts_dir)
     return built
 
 

@@ -2,6 +2,63 @@
 
 from __future__ import annotations
 
+import math
+import os
+
+# A read below this compressed size gets an explicit block count; larger
+# inputs keep Ray's own target_max_block_size-driven splitting.
+_SMALL_READ_BYTES = 256 << 20
+# ~4 MB compressed per block (~15-40 MB decoded) for small inputs.
+_SMALL_BLOCK_BYTES = 4 << 20
+
+
+def read_parquet_sized(path: str, *, columns=None,
+                       min_rows_per_block: int = 2000, **kwargs):
+    """`read_parquet` with the block count derived from file size.
+
+    Ray Data's parallelism heuristic floors the block count of every read
+    at ~2x the cluster CPU count, so a sub-MB parquet file is split into
+    dozens of micro-blocks (observed: 78-row blocks at bench scale, 192
+    blocks after a 3-way union) and every downstream stage then pays
+    per-task dispatch overhead per micro-block -- a measured 7-12x wall
+    slowdown on build/probe pipelines.  The opposite extreme is as bad: a
+    handful of huge blocks starves all-to-all ops (a 3-block string
+    groupby measured 22 s vs 2.5 s at 24 blocks).  For small files we
+    override with blocks = clamp(ceil(size / 4 MB), cpus/4, rows/2000);
+    big inputs (>= 256 MB, i.e. anything at real scale) are left entirely
+    to Ray's size-based splitting, so this is a small-scale fix with no
+    effect on cluster-scale reads."""
+    import ray
+    import ray.data as rd
+
+    try:
+        if os.path.isdir(path):
+            size = sum(os.path.getsize(os.path.join(root, f))
+                       for root, _, files in os.walk(path) for f in files)
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = _SMALL_READ_BYTES  # unknown (remote URI): defer to Ray
+    if size < _SMALL_READ_BYTES:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+        else:
+            cpus = os.cpu_count() or 8
+        nb = max(math.ceil(size / _SMALL_BLOCK_BYTES), max(1, cpus // 4))
+        try:  # never exceed rows/min_rows_per_block (no empty micro-blocks)
+            import pyarrow.parquet as pq
+            if os.path.isdir(path):
+                rows = sum(pq.ParquetFile(os.path.join(root, f)).metadata
+                           .num_rows for root, _, files in os.walk(path)
+                           for f in files if f.endswith(".parquet"))
+            else:
+                rows = pq.ParquetFile(path).metadata.num_rows
+            nb = min(nb, max(1, rows // min_rows_per_block))
+        except Exception:
+            pass
+        kwargs.setdefault("override_num_blocks", nb)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
 
 def pool(concurrency):
     """Actor-pool concurrency spec: int N -> autoscaling (1, N).

@@ -66,7 +66,8 @@ def main() -> int:
         from raysketch.pages import pages_dataset
         ds = pages_dataset(args.input)
     else:
-        ds = rd.read_parquet(args.input, columns=[args.key_col])
+        from raysketch.util import read_parquet_sized
+        ds = read_parquet_sized(args.input, columns=[args.key_col])
     ds = ds.materialize()
 
     n = ds.count()
