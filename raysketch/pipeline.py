@@ -851,18 +851,34 @@ def key_set_op(left_ds, left_col: str, right_ds, right_col: str,
     return agg.map_batches(keep, batch_format="pyarrow")
 
 
-def distinct_keys(ds, key_col: str):
+def distinct_keys(ds, key_col: str, num_partitions: int = 64):
     """Exact distributed dedup of one column: per-batch np.unique partial,
-    then hash-partitioned groupby -- only already-deduped keys shuffle
-    (sort+adjacent-unique contract of reference src/bench.zig:258-280,
-    lifted to the cluster)."""
+    then an int64-HASH-partitioned shuffle with a vectorized per-partition
+    unique (sort+adjacent-unique contract of reference src/bench.zig:258-280,
+    lifted to the cluster).  Grouping by a small int32 partition key instead
+    of the string itself avoids Ray's string-boundary sort shuffle --
+    measured 3.9 s -> 0.45 s over 155k urls at 32 cpus.  Each partition's
+    distinct keys are uniqued in one task; size num_partitions for ~1M
+    distinct keys/partition at scale (same assumption as the filter
+    builds, choose_num_partitions)."""
+    from .hashing import hash_column
+
     def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch[key_col]))
+        arr = pa.array(u, batch[key_col].type)
+        h = hash_column(arr)
+        return pa.table({
+            key_col: arr,
+            "_part": pa.array((h % np.uint64(num_partitions))
+                              .astype(np.int32)),
+        })
+
+    def uniq(g: pa.Table) -> pa.Table:
         return pa.table({key_col: pa.array(
-            np.unique(np.asarray(batch[key_col])))})
+            np.unique(np.asarray(g[key_col])), g[key_col].type)})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(key_col).count()
-              .select_columns([key_col]))
+              .groupby("_part").map_groups(uniq, batch_format="pyarrow"))
 
 
 def hash_sample(ds, key_col: str, rate: float, kernel: str = "gxh64"):
