@@ -234,12 +234,21 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
              for c in out])})
 
+    # batch_size bounds the replicate fan-out: 4096 rows x 576 replicas
+    # x ~35 B url ~= 80 MB per output array, safely under pa.string()'s
+    # 2 GB int32 offset limit (a whole 150k-row input block x 576
+    # overflows it)
     urls = (pages_dataset(sf_dir)
             .map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
-            .map_batches(replicate, batch_format="pyarrow")
+            .map_batches(replicate, batch_format="pyarrow", batch_size=4096)
             .materialize())
     n_keys = urls.count()
-    P = choose_num_partitions(n_keys, target_keys=200_000)
+    # 400k keys/partition: the r4 sweep (BASELINE.md) measured the flat
+    # ~6 s exchange floor shrinking and the best 16-cpu wall at P=234
+    # (200k/400k/800k -> 19.4/16.8/20.6 s at 16 cpus); 800k regresses
+    # the low-parallelism level (80 s at 4 cpus), so 400k is the
+    # compute-vs-exchange balance point for this job
+    P = choose_num_partitions(n_keys, target_keys=400_000)
 
     # untimed warmup: spin up the worker pool AND take one full read pass
     # over the materialized corpus -- the first full consumption of
