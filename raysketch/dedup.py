@@ -50,23 +50,46 @@ def exact_dedup(ds, col: str, id_col: str, num_partitions: int = 16):
     become driver state.  The group key is TWO independently-seeded 64-bit
     content hashes, so merging distinct texts needs a ~2^-128 collision
     (a single u64 key is expected to collide at ~10^10 docs)."""
-    from ray.data.aggregate import Min
+    parts = _shuffle_parts()
+
+    def _min_id_runs(h, h2, i):
+        """First id of each lexsorted (h, h2) run == min id per group."""
+        if h.size == 0:
+            return h, h2, i
+        order = np.lexsort((i, h2, h))
+        h, h2, i = h[order], h2[order], i[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])]))
+        return h[starts], h2[starts], i[starts]
 
     def project(batch: pa.Table) -> pa.Table:
-        # int64 views of the u64 hashes: Ray's aggregate re-emits group
-        # keys as Python ints and u64 values above 2^63 would fall back to
-        # pickled object blocks; the signed view is a bijection
+        # int64 views of the u64 hashes (uint64 columns would fall back to
+        # pickled object blocks in the shuffle; the signed view is a
+        # bijection), combined with a per-batch partial min so only one
+        # (h, h2, id) row per batch-local group crosses the exchange
+        h = hash_strings(batch[col]).view(np.int64)
+        h2 = hash_strings(batch[col],
+                          seed=0x9E3779B97F4A7C15).view(np.int64)
+        i = np.asarray(batch[id_col], dtype=np.int64)
+        h, h2, i = _min_id_runs(h, h2, i)
         return pa.table({
-            "h": pa.array(hash_strings(batch[col]).view(np.int64), pa.int64()),
-            "h2": pa.array(hash_strings(batch[col], seed=0x9E3779B97F4A7C15)
-                           .view(np.int64), pa.int64()),
-            "id": batch[id_col],
+            "h": pa.array(h), "h2": pa.array(h2), "id": pa.array(i),
+            "_part": pa.array((murmur64a_u64(h.view(U64), 29)
+                               % U64(parts)).astype(np.int32)),
         })
 
+    def min_final(g: pa.Table) -> pa.Table:
+        _, _, i = _min_id_runs(np.asarray(g["h"], dtype=np.int64),
+                               np.asarray(g["h2"], dtype=np.int64),
+                               np.asarray(g["id"], dtype=np.int64))
+        return pa.table({"min_id": pa.array(i)})
+
+    # hash-partitioned min-per-(h,h2): Ray's multi-column sort aggregate
+    # (groupby(["h","h2"]).aggregate(Min)) degrades with group count --
+    # one group per distinct document here
     winners = (ds.map_batches(project, batch_format="pyarrow")
-                 .groupby(["h", "h2"])
-                 .aggregate(Min("id", alias_name="min_id"))
-                 .select_columns(["min_id"]))
+                 .groupby("_part").map_groups(min_final,
+                                              batch_format="pyarrow"))
     return _join(ds, _compact(winners, num_partitions), "left_semi",
                  num_partitions, (id_col,), ("min_id",))
 
@@ -187,9 +210,101 @@ def _pairs_partition_fn(cap: int = HOT_BUCKET_CAP):
 
 def _distinct_pairs(cand):
     """Distributed distinct on (doc_a, doc_b): the same pair surfaces from
-    up to `bands` buckets and must reach the verify join exactly once."""
-    return (cand.groupby(["doc_a", "doc_b"]).count()
-                .select_columns(["doc_a", "doc_b"]))
+    up to `bands` buckets and must reach the verify join exactly once.
+    Shuffles an int32 hash-partition of the pair instead of using Ray's
+    multi-column sort aggregate (groupby(2 cols).count() measured 34.5 s
+    vs 0.9 s for this shape on 33k candidate rows); per-batch partial
+    dedup runs before the shuffle, vectorized lexsort+adjacent-unique
+    inside each partition after."""
+    parts = _shuffle_parts()
+
+    def _uniq(a: np.ndarray, b: np.ndarray):
+        if a.size == 0:
+            return a, b
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return a[keep], b[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64)
+        a, b = _uniq(a, b)
+        h = murmur64a_u64(a.view(U64) ^ murmur64a_u64(b.view(U64), 17), 23)
+        return pa.table({
+            "_part": pa.array((h % U64(parts)).astype(np.int32)),
+            "doc_a": pa.array(a), "doc_b": pa.array(b),
+        })
+
+    def uniq_group(g: pa.Table) -> pa.Table:
+        a, b = _uniq(np.asarray(g["doc_a"], dtype=np.int64),
+                     np.asarray(g["doc_b"], dtype=np.int64))
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+
+    return (cand.map_batches(partial, batch_format="pyarrow")
+                .groupby("_part").map_groups(uniq_group,
+                                             batch_format="pyarrow"))
+
+
+def _min_labels_by_node(ds, parts: int | None = None):
+    """(node, label, prev) -> one row per node with m=min(label),
+    p=min(prev): per-batch vectorized combine, int32 hash-partition
+    shuffle, per-partition reduceat -- the label-propagation loop runs
+    this every iteration, and Ray's sort-aggregate groupby(node)
+    degrades with node count."""
+    P = _shuffle_parts(parts)
+
+    def _minmin(node, lab, prev):
+        if node.size == 0:
+            return node, lab, prev
+        order = np.argsort(node, kind="stable")
+        node, lab, prev = node[order], lab[order], prev[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], node[1:] != node[:-1]]))
+        return (node[starts], np.minimum.reduceat(lab, starts),
+                np.minimum.reduceat(prev, starts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n, l, p = _minmin(np.asarray(batch["node"], dtype=np.int64),
+                          np.asarray(batch["label"], dtype=np.int64),
+                          np.asarray(batch["prev"], dtype=np.int64))
+        return pa.table({
+            "node": pa.array(n), "label": pa.array(l), "prev": pa.array(p),
+            "_part": pa.array((murmur64a_u64(n.view(U64), 29)
+                               % U64(P)).astype(np.int32)),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        n, l, p = _minmin(np.asarray(g["node"], dtype=np.int64),
+                          np.asarray(g["label"], dtype=np.int64),
+                          np.asarray(g["prev"], dtype=np.int64))
+        return pa.table({"node": pa.array(n), "m": pa.array(l),
+                         "p": pa.array(p)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_part").map_groups(final, batch_format="pyarrow"))
+
+
+def _distinct_ints(ds, col: str, parts: int | None = None):
+    """Distributed distinct of ONE int64 column: per-batch partial
+    np.unique, int32 hash-partition shuffle, vectorized per-partition
+    unique.  Replaces groupby(col).count() whose sort-aggregate degrades
+    with the number of groups (measured 34.5 s vs <1 s at ~20k groups)."""
+    P = _shuffle_parts(parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.asarray(batch[col], dtype=np.int64))
+        h = murmur64a_u64(v.view(U64), 29)
+        return pa.table({col: pa.array(v),
+                         "_part": pa.array((h % U64(P)).astype(np.int32))})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return pa.table({col: pa.array(
+            np.unique(np.asarray(g[col], dtype=np.int64)))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_part").map_groups(uniq, batch_format="pyarrow"))
 
 
 def _attach(pairs, attrs, num_partitions: int):
@@ -529,8 +644,6 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
     verified pair Dataset itself (or None for no-candidates)."""
     import warnings
 
-    from ray.data.aggregate import Min
-
     _I64_MAX = np.iinfo(np.int64).max
 
     edges = pairs if pairs is not None else _minhash_verified_pairs_ds(
@@ -543,11 +656,10 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
         num_partitions).materialize()
 
     labels = _compact(
-        edges.map_batches(
+        _distinct_ints(edges.map_batches(
             lambda t: pa.table({"node": pa.concat_arrays(
                 [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
-            batch_format="pyarrow")
-        .groupby("node").count().select_columns(["node"])
+            batch_format="pyarrow"), "node")
         .map_batches(lambda t: t.append_column("label", t["node"]),
                      batch_format="pyarrow"),
         num_partitions).materialize()
@@ -572,11 +684,8 @@ def neardup_dedup(ds, text_col: str, id_col: str, num_perm: int = 128,
             lambda t: t.append_column("prev", pa.array(
                 np.full(len(t), _I64_MAX, np.int64))),
             batch_format="pyarrow")
-        merged = (tagged_own.union(tagged_msgs)
-                  .groupby("node")
-                  .aggregate(Min("label", alias_name="m"),
-                             Min("prev", alias_name="p"))
-                  ).materialize()
+        merged = _min_labels_by_node(
+            tagged_own.union(tagged_msgs)).materialize()
         changed = merged.map_batches(
             lambda t: pa.table({"c": pa.array(
                 [int((np.asarray(t["m"]) < np.asarray(t["p"])).sum())],
@@ -634,11 +743,10 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
         return _pairs_result(None, {"jaccard": "float64"}, collect)
     cand = _compact(cand, num_partitions).materialize()
 
-    need = (cand.map_batches(
+    need = _distinct_ints(cand.map_batches(
         lambda t: pa.table({"doc_id": pa.concat_arrays(
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
-        batch_format="pyarrow")
-        .groupby("doc_id").count().select_columns(["doc_id"]))
+        batch_format="pyarrow"), "doc_id")
     docs_sub = _join(ds, _compact(need, num_partitions), "left_semi",
                      num_partitions, (id_col,), ("doc_id",))
 
