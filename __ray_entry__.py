@@ -689,16 +689,48 @@ def _q_distinct_users_per_hour(sf_dir: str):
     events = read_parquet_sized(f"{sf_dir}/events.parquet",
                              columns=["ts", "user_id"])
 
+    # (window, user) distinct via int32 hash-partition shuffle with
+    # per-batch partial dedup (Ray's multi-column sort aggregate degrades
+    # with group count); each distinct pair lands in exactly one
+    # partition, so the per-window user count after the final unique is
+    # exact.  The window count groupby that follows has only ~720 groups.
+    from raysketch.hashing import murmur64a_u64
+    _PARTS = 64
+
+    def _uniq_pairs(win: np.ndarray, uid: np.ndarray):
+        if win.size == 0:
+            return win, uid
+        order = np.lexsort((uid, win))
+        win, uid = win[order], uid[order]
+        keep = np.concatenate(
+            [[True], (win[1:] != win[:-1]) | (uid[1:] != uid[:-1])])
+        return win[keep], uid[keep]
+
     def pairs(t: pa.Table) -> pa.Table:
         ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
         win = (ts // 3_600_000_000) * 3_600_000_000
-        df = pd.DataFrame({"window_start": win.astype("datetime64[us]"),
-                           "user_id": np.asarray(t["user_id"])
-                           }).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        win, uid = _uniq_pairs(win, uid)
+        h = murmur64a_u64(
+            win.view(np.uint64) ^ murmur64a_u64(uid.view(np.uint64), 17), 23)
+        return pa.table({
+            "window_start": pa.array(win.astype("datetime64[us]")),
+            "user_id": pa.array(uid),
+            "_part": pa.array((h % np.uint64(_PARTS)).astype(np.int32)),
+        })
+
+    def uniq_group(g: pa.Table) -> pa.Table:
+        win = np.asarray(g["window_start"]).astype("datetime64[us]"
+                                                   ).astype(np.int64)
+        uid = np.asarray(g["user_id"], dtype=np.int64)
+        win, uid = _uniq_pairs(win, uid)
+        return pa.table({
+            "window_start": pa.array(win.astype("datetime64[us]")),
+            "user_id": pa.array(uid)})
 
     dedup = (events.map_batches(pairs, batch_format="pyarrow")
-                   .groupby(["window_start", "user_id"]).count())
+                   .groupby("_part").map_groups(uniq_group,
+                                                batch_format="pyarrow"))
     out = dedup.groupby("window_start").count()
     return out.map_batches(
         lambda t: pa.table({"window_start": t["window_start"],
@@ -735,21 +767,13 @@ def _q_events_orders_asof(sf_dir: str):
 
 
 def _q_latest_page_per_url(sf_dir: str):
-    """Recency dedup: max(warc_ts) per url -- per-batch pandas combiner
-    max, then one groupby(url).max shuffle of (url, ts) pairs only."""
-    import pandas as pd
-    from ray.data.aggregate import Max
-    pages = _cached_pages(sf_dir)
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"url": np.asarray(t["url"]),
-                           "warc_ts": np.asarray(t["warc_ts"])})
-        g = df.groupby("url", as_index=False)["warc_ts"].max()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return (pages.map_batches(partial, batch_format="pyarrow")
-                 .groupby("url")
-                 .aggregate(Max("warc_ts", alias_name="latest_ts")))
+    """Recency dedup: max(warc_ts) per url -- per-batch vectorized
+    combine, then ONE int32 hash-partition shuffle of combined
+    (url, ts) rows (grouped_minmax)."""
+    from raysketch.pipeline import grouped_minmax
+    pages = _cached_pages(sf_dir).map_batches(
+        lambda t: t.select(["url", "warc_ts"]), batch_format="pyarrow")
+    return grouped_minmax(pages, "url", [("warc_ts", "max", "latest_ts")])
 
 
 def _q_sample_pages(sf_dir: str):

