@@ -692,22 +692,52 @@ def grouped_sketch_aggregate(ds, key_fn, value_fn, make_sketch,
                          "salt": pa.array(out_salt, pa.int32()),
                          "state": pa.array(out_state, pa.large_binary())})
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        acc = None
-        for blob in group["state"]:
-            s = sketch_from_bytes(blob.as_py())
-            acc = s if acc is None else acc.merge(s)
-        return pa.table({key_name: [group[key_name][0].as_py()],
-                         "salt": pa.array([0], pa.int32()),
-                         "state": pa.array([acc.to_bytes()],
-                                           pa.large_binary())})
+    # int32 hash-partition shuffle instead of Ray's sort groupby on the
+    # (string key, salt) pair: key cardinality is unbounded at scale and
+    # the sort aggregate degrades with group count.  One merge task per
+    # partition handles ALL its (key, salt) runs.
+    from .hashing import hash_strings
+    _P = 64
+
+    def _with_part(t: pa.Table, use_salt: bool) -> pa.Table:
+        h = hash_strings(t[key_name])
+        if use_salt:
+            h = h ^ (np.asarray(t["salt"]).astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(_P)).astype(np.int32)))
+
+    def merge_runs(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g[key_name])
+        salts = np.asarray(g["salt"])
+        order = np.lexsort((salts, keys))
+        keys_s, salts_s = keys[order], salts[order]
+        states = g["state"].combine_chunks().take(pa.array(order))
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (keys_s[1:] != keys_s[:-1])
+             | (salts_s[1:] != salts_s[:-1])]))
+        bounds = np.append(starts, len(keys_s))
+        out_k, out_state = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            acc = sketch_from_bytes(states[s].as_py())
+            for j in range(s + 1, e):
+                acc = acc.merge(sketch_from_bytes(states[j].as_py()))
+            out_k.append(keys_s[s])
+            out_state.append(acc.to_bytes())
+        return pa.table({key_name: pa.array(out_k, g[key_name].type),
+                         "salt": pa.array(np.zeros(len(out_k), np.int32)),
+                         "state": pa.array(out_state, pa.large_binary())})
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby([key_name, "salt"])
-             .map_groups(merge_group, batch_format="pyarrow"))
+             .map_batches(lambda t: _with_part(t, True),
+                          batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(merge_runs, batch_format="pyarrow"))
     if num_salts > 1:
-        out = (out.groupby(key_name)
-                  .map_groups(merge_group, batch_format="pyarrow"))
+        out = (out.map_batches(lambda t: _with_part(t, False),
+                               batch_format="pyarrow")
+                  .groupby("_part")
+                  .map_groups(merge_runs, batch_format="pyarrow"))
     return out.map_batches(lambda t: t.select([key_name, "state"]),
                            batch_format="pyarrow")
 
