@@ -84,31 +84,72 @@ def hopping_window_agg(ds, ts_col: str, window_s: int, hop_s: int,
 
 
 def session_windows(ds, key_col: str, ts_col: str, value_col: str,
-                    gap_s: int):
+                    gap_s: int, num_partitions: int = 64):
     """Per-key sessions: consecutive events of a key belong to one session
     while inter-event gap <= gap_s; sessions numbered 1..k per key in time
-    order (pinned so the SQL oracle's lag()+cumsum reproduces it)."""
+    order (pinned so the SQL oracle's lag()+cumsum reproduces it).
+
+    Shape: ONE int32 hash-partition shuffle on the key (every key's rows
+    land in exactly one partition), then a fully vectorized per-partition
+    sessionize -- lexsort by (key, ts), session breaks = key change OR
+    gap, per-session reduceat.  Replaces one Ray sort-groupby task per
+    key (key cardinality is unbounded at scale)."""
+    from .hashing import murmur64a_u64
     gap_us = gap_s * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].values.astype("datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        sid = np.cumsum(new_session)
-        out = pd.DataFrame({
-            key_col: g[key_col].values, "session_id": sid,
-            "ts": g[ts_col].values, "value": g[value_col].values})
-        agg = (out.groupby([key_col, "session_id"], as_index=False)
-                  .agg(session_start=("ts", "min"),
-                       session_end=("ts", "max"),
-                       n_events=("ts", "count"),
-                       sum_value=("value", "sum")))
-        return agg
+    def part(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col], dtype=np.int64)
+        h = murmur64a_u64(k.view(np.uint64), 31)
+        return pa.table({
+            key_col: t[key_col], ts_col: t[ts_col],
+            value_col: t[value_col],
+            "_part": pa.array((h % np.uint64(num_partitions))
+                              .astype(np.int32)),
+        })
 
-    return (ds.groupby(key_col)
-              .map_groups(sessionize, batch_format="pandas"))
+    def sessionize(g: pa.Table) -> pa.Table:
+        key = np.asarray(g[key_col], dtype=np.int64)
+        ts_orig = np.asarray(g[ts_col]).astype("datetime64[us]")
+        ts = ts_orig.astype(np.int64)
+        val = np.asarray(g[value_col])
+        if key.size == 0:
+            return pa.table({
+                key_col: pa.array([], g[key_col].type),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array(ts_orig[:0]),
+                "session_end": pa.array(ts_orig[:0]),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array(val[:0]),
+            })
+        order = np.lexsort((ts, key))
+        key, ts, val = key[order], ts[order], val[order]
+        n = len(key)
+        newkey = key[1:] != key[:-1]
+        breaks = np.concatenate(
+            [[True], newkey | (ts[1:] - ts[:-1] > gap_us)])
+        s_starts = np.flatnonzero(breaks)
+        bounds = np.append(s_starts, n)
+        # sessions numbered 1..k per key: global session index minus the
+        # key's first session index
+        sid_glob = np.cumsum(breaks)
+        key_starts = np.flatnonzero(np.concatenate([[True], newkey]))
+        key_bounds = np.append(key_starts, n)
+        base = np.repeat(sid_glob[key_starts],
+                         np.diff(key_bounds))
+        sid = (sid_glob - base + 1)[s_starts]
+        ts_sorted = ts_orig[order]
+        return pa.table({
+            key_col: pa.array(key[s_starts], g[key_col].type),
+            "session_id": pa.array(sid.astype(np.int64)),
+            "session_start": pa.array(ts_sorted[s_starts]),
+            "session_end": pa.array(ts_sorted[bounds[1:] - 1]),
+            "n_events": pa.array(np.diff(bounds).astype(np.int64)),
+            "sum_value": pa.array(np.add.reduceat(val, s_starts)),
+        })
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(sessionize, batch_format="pyarrow"))
 
 
 def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
@@ -118,10 +159,17 @@ def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
     greatest right_id, pinned for the oracle).  Rows with no match get
     right_id NULL.
 
-    Shape: project both sides to (key, ts, id, side), union, ONE shuffle on
-    key via groupby(key).map_groups, sorted searchsorted merge per group.
-    No broadcast -- both sides may be large; the partitioning assumption is
-    per-key data fits in a group (salt by time range if a key is huge)."""
+    Shape: project both sides to (key, ts, id, side), union, ONE int32
+    hash-partition shuffle on the key (one partition holds MANY complete
+    keys; Ray's per-key sort groupby degrades with key cardinality), then
+    a per-partition pandas groupby applying the sorted searchsorted merge
+    per key.  No broadcast -- both sides may be large; the partitioning
+    assumption is per-key data fits in a partition (salt by time range if
+    a key is huge)."""
+    from .hashing import murmur64a_u64
+
+    num_partitions = 64
+
     def project(side: int, key, ts, idc):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -171,5 +219,23 @@ def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
                              right_id: null_ids(
                                  r["id"].values[idx[matched]], matched)})
 
-    return left.union(right).groupby("key").map_groups(
-        merge, batch_format="pandas")
+    def part(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["key"])
+        if np.issubdtype(k.dtype, np.integer):
+            h = murmur64a_u64(k.astype(np.int64).view(np.uint64), 31)
+        else:
+            from .hashing import hash_strings
+            h = hash_strings(t["key"])
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions))
+                              .astype(np.int32)))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [merge(sub) for _, sub in
+                g.groupby("key", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (left.union(right)
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(merge_part,
+                                         batch_format="pandas"))
