@@ -312,3 +312,42 @@ def test_semijoin_filter_verify_broadcast_matches_join(ray_session):
                                       max_broadcast_bytes=0).to_pandas()
     assert set(via_bc["pkey"]) == want
     assert set(via_join["pkey"]) == want
+
+
+def test_grouped_reduce_matches_pandas(ray_session):
+    """grouped_reduce (hash-partition + run reduce) must equal pandas
+    groupby min/max/sum for string AND int keys, across many blocks,
+    including singleton and hot keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysketch.pipeline import grouped_reduce
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    skews = rng.choice([1, 1, 1, 400], size=n)  # a few hot keys
+    keys_i = (rng.integers(0, 3_000, size=n) * skews).astype(np.int64)
+    vals = rng.integers(-10**12, 10**12, size=n).astype(np.int64)
+    df = pd.DataFrame({"k": keys_i, "v": vals})
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(13)
+    got = grouped_reduce(ds, "k", [("v", "min", "lo"), ("v", "max", "hi"),
+                                   ("v", "sum", "tot")]).to_pandas()
+    want = (df.groupby("k", as_index=False)
+              .agg(lo=("v", "min"), hi=("v", "max"), tot=("v", "sum")))
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lo", "hi", "tot"]], want)
+
+    # string keys + timestamp values (the latest_page_per_url shape)
+    df2 = pd.DataFrame({
+        "k": [f"host{i % 97}" for i in range(5_000)],
+        "t": pd.to_datetime(
+            rng.integers(0, 10**15, size=5_000), unit="us"),
+    })
+    ds2 = rd.from_arrow(pa.Table.from_pandas(df2)).repartition(7)
+    got2 = (grouped_reduce(ds2, "k", [("t", "max", "latest")])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    want2 = (df2.groupby("k", as_index=False).agg(latest=("t", "max"))
+             .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want2)
