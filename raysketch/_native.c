@@ -17,28 +17,182 @@
 
 typedef unsigned __int128 u128;
 
-/* ---------------- ribbon: banded GF(2) elimination -------------------
- * One-key-at-a-time cascade (the reference's insertion loop,
- * src/ribbon.zig:78-106).  Inputs are the seed-remixed derivations
- * computed vectorized in NumPy (positions, coefficient rows, result
- * rows); this only runs the data-dependent sequential part.
+/* MurmurHash64A of one u64 with a seed (std.hash.Murmur2_64 semantics,
+ * reference src/xorf.zig:7-9 `apply_seed`); also the ribbon seed remix
+ * (_remix in sketches/ribbon.py).  Shared by the xorf and ribbon
+ * builds below; parity with hashing.murmur64a_u64 is pinned by
+ * tests/test_native.py. */
+static inline uint64_t murmur64a_u64_scalar(uint64_t h, uint64_t seed)
+{
+    const uint64_t m = 0xC6A4A7935BD1E995ull;
+    uint64_t acc = seed ^ (8ull * m);
+    uint64_t k = h * m;
+    k ^= k >> 47;
+    k *= m;
+    acc ^= k;
+    acc *= m;
+    acc ^= acc >> 47;
+    acc *= m;
+    acc ^= acc >> 47;
+    return acc;
+}
+
+/* ---------------- ribbon: fused build ---------------------------------
+ * The reference's whole construction (src/ribbon.zig:51-139) in one
+ * call per (seed, size) attempt: per-key derivation (seed remix,
+ * smash start position src/ribbon.zig:9-17, coefficient row :22-35,
+ * result row :46-49 -- the same formulas the NumPy kernels in
+ * sketches/ribbon.py vectorize, so the accepted-seed schedule is
+ * bit-identical), the one-key-at-a-time banded elimination cascade
+ * (:78-106), and shift-register back-substitution (:108-131).
  * Returns 1 on success, 0 on inconsistency (caller retries next seed).
+ *
+ * Layout: band cells pack {coefficient row, result row} into one
+ * 16-byte (u64 band) / 32-byte (u128 band) cell so each data-dependent
+ * chase step touches ONE cache line instead of two, and derivation
+ * runs RIBBON_PF keys ahead of insertion so each key's first access
+ * (its start position) is prefetched while earlier keys chase (the
+ * chase steps themselves are data-dependent and cannot be).  cellbuf
+ * is caller-allocated (2*size u64s for u64 bands, 4*size for u128).
+ *
  * Solutions may differ from the NumPy round-parallel elimination's
  * (different pivot choices) but satisfy the same equations; SUCCESS is
  * order-independent (rank property), so both paths accept the same
- * (seed, multiplier) and determinism of the seed schedule holds. */
-int ribbon_eliminate64(int64_t n, const int64_t *pos, const uint64_t *lo,
-                       const uint64_t *rr, uint64_t *c_lo, uint64_t *res)
+ * (seed, multiplier) and determinism of the seed schedule holds
+ * (pinned by tests/test_native.py). */
+#define RIBBON_PF 12
+
+typedef struct { uint64_t coeff; uint64_t res; } ribbon_cell64;
+typedef struct { uint64_t lo; uint64_t hi;
+                 uint64_t res; uint64_t pad; } ribbon_cell128;
+
+/* coefficient-row multipliers for the u128 band, src/ribbon.zig:19-20 */
+#define RIBBON_COEFF_F0 0x876F170BE4F1FCB9ull
+#define RIBBON_COEFF_F1 0xF0433A4AECDA4C5Full
+
+/* smash start position, src/ribbon.zig:9-17 (start_range = size + 1 -
+ * coeff_bits; w = coeff_bits / 8) -- mirrors _start_pos_np */
+static inline int64_t ribbon_start_pos(uint64_t mixed, uint64_t seed,
+                                       int64_t start_range, int w)
 {
+    uint64_t h0 = mixed ^ seed;
+    uint64_t h32 = (h0 ^ (h0 >> 32)) & 0xFFFFFFFFull;
+    uint64_t smash = ((uint64_t)(start_range + 2 * w) * h32) >> 32;
+    int64_t p = smash >= (uint64_t)w ? (int64_t)(smash - (uint64_t)w) : 0;
+    int64_t mx = start_range - 1 > 0 ? start_range - 1 : 0;
+    return p > mx ? mx : p;
+}
+
+/* shift-register back-substitution (src/ribbon.zig:108-131) over a
+ * strided coefficient/result view, so the SAME recurrence serves both
+ * the packed fused-build cells (stride 2/4) and the split arrays the
+ * parity tests feed (stride 1); gcc specializes each inlined copy.
+ * Register b bit j holds sol bit b of row i+1+j; row i's bit b is the
+ * parity of (coeff[i]>>1) & state[b], XOR the stored result bit.  `sol`
+ * is written as u32; callers truncate to the result dtype. */
+static inline void ribbon_backsub64_strided(
+    int64_t size, const uint64_t *coeff, int64_t cstride,
+    const uint64_t *res, int64_t rstride, int result_bits, uint32_t *sol)
+{
+    uint64_t state[32] = {0};
+    for (int64_t i = size - 1; i >= 0; i--) {
+        uint64_t cr = coeff[i * cstride] >> 1;
+        uint32_t out = 0;
+        for (int b = 0; b < result_bits; b++)
+            out |= (uint32_t)__builtin_parityll(cr & state[b]) << b;
+        out ^= (uint32_t)res[i * rstride];
+        sol[i] = out;
+        for (int b = 0; b < result_bits; b++)
+            state[b] = (state[b] << 1) | ((out >> b) & 1u);
+    }
+}
+
+static inline void ribbon_backsub128_strided(
+    int64_t size, const uint64_t *c_lo, const uint64_t *c_hi,
+    int64_t cstride, const uint64_t *res, int64_t rstride,
+    int result_bits, uint32_t *sol)
+{
+    u128 state[32] = {0};
+    for (int64_t i = size - 1; i >= 0; i--) {
+        u128 cr = (((u128)c_hi[i * cstride] << 64) | c_lo[i * cstride])
+                  >> 1;
+        uint32_t out = 0;
+        for (int b = 0; b < result_bits; b++) {
+            u128 a = cr & state[b];
+            out |= (uint32_t)__builtin_parityll(
+                       (uint64_t)a ^ (uint64_t)(a >> 64)) << b;
+        }
+        out ^= (uint32_t)res[i * rstride];
+        sol[i] = out;
+        for (int b = 0; b < result_bits; b++)
+            state[b] = (state[b] << 1) | ((out >> b) & 1u);
+    }
+}
+
+void ribbon_backsub64(int64_t size, const uint64_t *c_lo,
+                      const uint64_t *res, int result_bits, uint32_t *sol)
+{
+    ribbon_backsub64_strided(size, c_lo, 1, res, 1, result_bits, sol);
+}
+
+void ribbon_backsub128(int64_t size, const uint64_t *c_lo,
+                       const uint64_t *c_hi, const uint64_t *res,
+                       int result_bits, uint32_t *sol)
+{
+    ribbon_backsub128_strided(size, c_lo, c_hi, 1, res, 1,
+                              result_bits, sol);
+}
+
+/* coeff_bits is 32 or 64 (both use a u64 band word; the u32 row simply
+ * has its high bits clear); hashes are the RAW u64 key hashes -- the
+ * murmur64a seed remix (_remix in sketches/ribbon.py) happens here. */
+int ribbon_build64(const uint64_t *hashes, int64_t n, uint64_t seed,
+                   int64_t size, int coeff_bits, int result_bits,
+                   uint64_t *cellbuf, uint32_t *sol)
+{
+    ribbon_cell64 *cells = (ribbon_cell64 *)cellbuf;
+    memset(cells, 0, (size_t)size * sizeof(ribbon_cell64));
+    int w = coeff_bits / 8;
+    int64_t start_range = size + 1 - coeff_bits;
+    uint64_t coeff_mask = coeff_bits >= 64 ? ~0ull
+                                           : ((1ull << coeff_bits) - 1);
+    uint64_t res_mask = result_bits >= 32
+                            ? 0xFFFFFFFFull
+                            : ((1ull << result_bits) - 1);
+    int64_t ring_p[RIBBON_PF];
+    uint64_t ring_c[RIBBON_PF], ring_r[RIBBON_PF];
+    int64_t lead = n < RIBBON_PF ? n : RIBBON_PF;
+    for (int64_t i = 0; i < lead; i++) {
+        uint64_t mixed = murmur64a_u64_scalar(hashes[i], seed);
+        ring_p[i] = ribbon_start_pos(mixed, seed, start_range, w);
+        ring_c[i] = ((seed ^ mixed) | 1ull) & coeff_mask;
+        uint64_t h0 = mixed ^ seed;
+        ring_r[i] = ((h0 >> 32) ^ h0) & res_mask;
+        __builtin_prefetch(&cells[ring_p[i]], 1, 1);
+    }
     for (int64_t i = 0; i < n; i++) {
-        int64_t p = pos[i];
-        uint64_t cr = lo[i];
-        uint64_t r = rr[i];
+        int slot = (int)(i % RIBBON_PF);
+        int64_t p = ring_p[slot];
+        uint64_t cr = ring_c[slot];
+        uint64_t r = ring_r[slot];
+        int64_t nx = i + RIBBON_PF;
+        if (nx < n) {
+            uint64_t mixed = murmur64a_u64_scalar(hashes[nx], seed);
+            ring_p[slot] = ribbon_start_pos(mixed, seed, start_range, w);
+            ring_c[slot] = ((seed ^ mixed) | 1ull) & coeff_mask;
+            uint64_t h0 = mixed ^ seed;
+            ring_r[slot] = ((h0 >> 32) ^ h0) & res_mask;
+            __builtin_prefetch(&cells[ring_p[slot]], 1, 1);
+        }
         for (;;) {
-            uint64_t exist = c_lo[p];
-            if (exist == 0) { c_lo[p] = cr; res[p] = r; break; }
+            uint64_t exist = cells[p].coeff;
+            if (exist == 0) {
+                cells[p].coeff = cr;
+                cells[p].res = r;
+                break;
+            }
             cr ^= exist;
-            r ^= res[p];
+            r ^= cells[p].res;
             if (cr == 0) {
                 if (r == 0) break;   /* duplicate row, consistent */
                 return 0;            /* inconsistent -> retry seed */
@@ -48,27 +202,61 @@ int ribbon_eliminate64(int64_t n, const int64_t *pos, const uint64_t *lo,
             cr >>= tz;
         }
     }
+    ribbon_backsub64_strided(size, &cells[0].coeff, 2, &cells[0].res, 2,
+                             result_bits, sol);
     return 1;
 }
 
-int ribbon_eliminate128(int64_t n, const int64_t *pos, const uint64_t *lo,
-                        const uint64_t *hi, const uint64_t *rr,
-                        uint64_t *c_lo, uint64_t *c_hi, uint64_t *res)
+int ribbon_build128(const uint64_t *hashes, int64_t n, uint64_t seed,
+                    int64_t size, int result_bits,
+                    uint64_t *cellbuf, uint32_t *sol)
 {
+    ribbon_cell128 *cells = (ribbon_cell128 *)cellbuf;
+    memset(cells, 0, (size_t)size * sizeof(ribbon_cell128));
+    int w = 16;
+    int64_t start_range = size + 1 - 128;
+    uint64_t res_mask = result_bits >= 32
+                            ? 0xFFFFFFFFull
+                            : ((1ull << result_bits) - 1);
+    uint64_t f0 = seed * RIBBON_COEFF_F0;
+    uint64_t f1 = seed * RIBBON_COEFF_F1;
+    int64_t ring_p[RIBBON_PF];
+    uint64_t ring_lo[RIBBON_PF], ring_hi[RIBBON_PF], ring_r[RIBBON_PF];
+    int64_t lead = n < RIBBON_PF ? n : RIBBON_PF;
+    for (int64_t i = 0; i < lead; i++) {
+        uint64_t mixed = murmur64a_u64_scalar(hashes[i], seed);
+        ring_p[i] = ribbon_start_pos(mixed, seed, start_range, w);
+        ring_hi[i] = f0 ^ mixed;
+        ring_lo[i] = (f1 ^ __builtin_bswap64(mixed)) | 1ull;
+        uint64_t h0 = mixed ^ seed;
+        ring_r[i] = ((h0 >> 32) ^ h0) & res_mask;
+        __builtin_prefetch(&cells[ring_p[i]], 1, 1);
+    }
     for (int64_t i = 0; i < n; i++) {
-        int64_t p = pos[i];
-        u128 cr = ((u128)hi[i] << 64) | lo[i];
-        uint64_t r = rr[i];
+        int slot = (int)(i % RIBBON_PF);
+        int64_t p = ring_p[slot];
+        u128 cr = ((u128)ring_hi[slot] << 64) | ring_lo[slot];
+        uint64_t r = ring_r[slot];
+        int64_t nx = i + RIBBON_PF;
+        if (nx < n) {
+            uint64_t mixed = murmur64a_u64_scalar(hashes[nx], seed);
+            ring_p[slot] = ribbon_start_pos(mixed, seed, start_range, w);
+            ring_hi[slot] = f0 ^ mixed;
+            ring_lo[slot] = (f1 ^ __builtin_bswap64(mixed)) | 1ull;
+            uint64_t h0 = mixed ^ seed;
+            ring_r[slot] = ((h0 >> 32) ^ h0) & res_mask;
+            __builtin_prefetch(&cells[ring_p[slot]], 1, 1);
+        }
         for (;;) {
-            u128 exist = ((u128)c_hi[p] << 64) | c_lo[p];
+            u128 exist = ((u128)cells[p].hi << 64) | cells[p].lo;
             if (exist == 0) {
-                c_lo[p] = (uint64_t)cr;
-                c_hi[p] = (uint64_t)(cr >> 64);
-                res[p] = r;
+                cells[p].lo = (uint64_t)cr;
+                cells[p].hi = (uint64_t)(cr >> 64);
+                cells[p].res = r;
                 break;
             }
             cr ^= exist;
-            r ^= res[p];
+            r ^= cells[p].res;
             if (cr == 0) {
                 if (r == 0) break;
                 return 0;
@@ -80,49 +268,9 @@ int ribbon_eliminate128(int64_t n, const int64_t *pos, const uint64_t *lo,
             cr >>= tz;
         }
     }
+    ribbon_backsub128_strided(size, &cells[0].lo, &cells[0].hi, 4,
+                              &cells[0].res, 4, result_bits, sol);
     return 1;
-}
-
-/* ---------------- ribbon: back-substitution ---------------------------
- * Per-result-bit shift registers (src/ribbon.zig:108-131): register b
- * bit j holds sol bit b of row i+1+j; row i's bit b is the parity of
- * (coeff[i]>>1) & state[b], XOR the stored result bit.  Registers
- * naturally drop bits past the band width on the left shift.  `sol` is
- * written as u32; callers truncate to the result dtype. */
-void ribbon_backsub64(int64_t size, const uint64_t *c_lo,
-                      const uint64_t *res, int result_bits, uint32_t *sol)
-{
-    uint64_t state[32] = {0};
-    for (int64_t i = size - 1; i >= 0; i--) {
-        uint64_t cr = c_lo[i] >> 1;
-        uint32_t out = 0;
-        for (int b = 0; b < result_bits; b++)
-            out |= (uint32_t)__builtin_parityll(cr & state[b]) << b;
-        out ^= (uint32_t)res[i];
-        sol[i] = out;
-        for (int b = 0; b < result_bits; b++)
-            state[b] = (state[b] << 1) | ((out >> b) & 1u);
-    }
-}
-
-void ribbon_backsub128(int64_t size, const uint64_t *c_lo,
-                       const uint64_t *c_hi, const uint64_t *res,
-                       int result_bits, uint32_t *sol)
-{
-    u128 state[32] = {0};
-    for (int64_t i = size - 1; i >= 0; i--) {
-        u128 cr = (((u128)c_hi[i] << 64) | c_lo[i]) >> 1;
-        uint32_t out = 0;
-        for (int b = 0; b < result_bits; b++) {
-            u128 a = cr & state[b];
-            out |= (uint32_t)__builtin_parityll(
-                       (uint64_t)a ^ (uint64_t)(a >> 64)) << b;
-        }
-        out ^= (uint32_t)res[i];
-        sol[i] = out;
-        for (int b = 0; b < result_bits; b++)
-            state[b] = (state[b] << 1) | ((out >> b) & 1u);
-    }
 }
 
 /* ---------------- SBBF: block insert / check --------------------------
@@ -689,21 +837,6 @@ static inline uint64_t sm64_next(uint64_t *state)
     return z ^ (z >> 31);
 }
 
-static inline uint64_t murmur64a_u64_scalar(uint64_t h, uint64_t seed)
-{
-    const uint64_t m = 0xC6A4A7935BD1E995ull;
-    uint64_t acc = seed ^ (8ull * m);
-    uint64_t k = h * m;
-    k ^= k >> 47;
-    k *= m;
-    acc ^= k;
-    acc *= m;
-    acc ^= acc >> 47;
-    acc *= m;
-    acc ^= acc >> 47;
-    return acc;
-}
-
 static inline void xorf_subhashes(uint64_t h, int arity,
                                   uint32_t segment_length,
                                   uint64_t segment_count_length,
@@ -821,5 +954,95 @@ int xorf_build(const uint64_t *hashes, int64_t n, int arity, int fp_bits,
         return attempt;
     }
     return 0;
+}
+
+/* ---------------- MD5 (RFC 1321), first-2-digest-bytes batch ----------
+ * Serves hash_sample(kernel="md5"): the cross-engine sampling selector
+ * `('0x' || substr(md5(key), 1, 4))::INT` any SQL engine can reproduce.
+ * MD5 is inherently per-string/sequential, so the win over the Python
+ * hashlib loop is loop + allocation overhead (~10-20x on url-sized
+ * keys), not vectorization.  out[i] = big-endian u16 of digest bytes
+ * 0..1, i.e. exactly the DuckDB expression's value. */
+
+static const uint32_t MD5_K[64] = {
+    0xd76aa478u, 0xe8c7b756u, 0x242070dbu, 0xc1bdceeeu,
+    0xf57c0fafu, 0x4787c62au, 0xa8304613u, 0xfd469501u,
+    0x698098d8u, 0x8b44f7afu, 0xffff5bb1u, 0x895cd7beu,
+    0x6b901122u, 0xfd987193u, 0xa679438eu, 0x49b40821u,
+    0xf61e2562u, 0xc040b340u, 0x265e5a51u, 0xe9b6c7aau,
+    0xd62f105du, 0x02441453u, 0xd8a1e681u, 0xe7d3fbc8u,
+    0x21e1cde6u, 0xc33707d6u, 0xf4d50d87u, 0x455a14edu,
+    0xa9e3e905u, 0xfcefa3f8u, 0x676f02d9u, 0x8d2a4c8au,
+    0xfffa3942u, 0x8771f681u, 0x6d9d6122u, 0xfde5380cu,
+    0xa4beea44u, 0x4bdecfa9u, 0xf6bb4b60u, 0xbebfbc70u,
+    0x289b7ec6u, 0xeaa127fau, 0xd4ef3085u, 0x04881d05u,
+    0xd9d4d039u, 0xe6db99e5u, 0x1fa27cf8u, 0xc4ac5665u,
+    0xf4292244u, 0x432aff97u, 0xab9423a7u, 0xfc93a039u,
+    0x655b59c3u, 0x8f0ccc92u, 0xffeff47du, 0x85845dd1u,
+    0x6fa87e4fu, 0xfe2ce6e0u, 0xa3014314u, 0x4e0811a1u,
+    0xf7537e82u, 0xbd3af235u, 0x2ad7d2bbu, 0xeb86d391u
+};
+
+static const uint8_t MD5_R[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21
+};
+
+static void md5_block(uint32_t st[4], const uint8_t *p)
+{
+    uint32_t M[16];
+    for (int j = 0; j < 16; j++)
+        M[j] = (uint32_t)p[4 * j] | ((uint32_t)p[4 * j + 1] << 8)
+             | ((uint32_t)p[4 * j + 2] << 16)
+             | ((uint32_t)p[4 * j + 3] << 24);
+    uint32_t a = st[0], b = st[1], c = st[2], d = st[3];
+    for (int i = 0; i < 64; i++) {
+        uint32_t f;
+        int g;
+        if (i < 16)      { f = (b & c) | (~b & d); g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15; }
+        else if (i < 48) { f = b ^ c ^ d;          g = (3 * i + 5) & 15; }
+        else             { f = c ^ (b | ~d);       g = (7 * i) & 15; }
+        uint32_t tmp = d;
+        d = c;
+        c = b;
+        uint32_t x = a + f + MD5_K[i] + M[g];
+        int r = MD5_R[i];
+        b = b + ((x << r) | (x >> (32 - r)));
+        a = tmp;
+    }
+    st[0] += a; st[1] += b; st[2] += c; st[3] += d;
+}
+
+void md5_u16_bytes(const int64_t *offsets, const uint8_t *data, int64_t n,
+                   uint16_t *out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *msg = data + offsets[i];
+        uint64_t len = (uint64_t)(offsets[i + 1] - offsets[i]);
+        uint32_t st[4] = {0x67452301u, 0xefcdab89u,
+                          0x98badcfeu, 0x10325476u};
+        uint64_t k = 0;
+        for (; k + 64 <= len; k += 64)
+            md5_block(st, msg + k);
+        uint8_t tail[128];
+        uint64_t rem = len - k;
+        if (rem)
+            memcpy(tail, msg + k, rem);
+        tail[rem] = 0x80;
+        uint64_t padlen = rem < 56 ? 64 : 128;
+        memset(tail + rem + 1, 0, (size_t)(padlen - rem - 1 - 8));
+        uint64_t bits = len * 8;
+        for (int j = 0; j < 8; j++)
+            tail[padlen - 8 + j] = (uint8_t)(bits >> (8 * j));
+        md5_block(st, tail);
+        if (padlen == 128)
+            md5_block(st, tail + 64);
+        /* digest[0..1] are the low two LE bytes of st[0]; the DuckDB
+         * expression reads them as a big-endian u16 */
+        out[i] = (uint16_t)(((st[0] & 0xFFu) << 8) | ((st[0] >> 8) & 0xFFu));
+    }
 }
 

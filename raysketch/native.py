@@ -74,12 +74,13 @@ def _build_and_load():
     p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
-    lib.ribbon_eliminate64.restype = ctypes.c_int
-    lib.ribbon_eliminate64.argtypes = [i64, p_i64, p_u64, p_u64,
-                                       p_u64, p_u64]
-    lib.ribbon_eliminate128.restype = ctypes.c_int
-    lib.ribbon_eliminate128.argtypes = [i64, p_i64, p_u64, p_u64, p_u64,
-                                        p_u64, p_u64, p_u64]
+    lib.ribbon_build64.restype = ctypes.c_int
+    lib.ribbon_build64.argtypes = [p_u64, i64, ctypes.c_uint64, i64,
+                                   ctypes.c_int, ctypes.c_int,
+                                   p_u64, p_u32]
+    lib.ribbon_build128.restype = ctypes.c_int
+    lib.ribbon_build128.argtypes = [p_u64, i64, ctypes.c_uint64, i64,
+                                    ctypes.c_int, p_u64, p_u32]
     lib.ribbon_backsub64.restype = None
     lib.ribbon_backsub64.argtypes = [i64, p_u64, p_u64, ctypes.c_int, p_u32]
     lib.ribbon_backsub128.restype = None
@@ -102,6 +103,9 @@ def _build_and_load():
     lib.ribbon_check.argtypes = [p_u64, i64, ctypes.c_uint64,
                                  ctypes.c_int, ctypes.c_int,
                                  ctypes.c_void_p, i64, p_u8]
+    p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.md5_u16_bytes.restype = None
+    lib.md5_u16_bytes.argtypes = [p_i64, p_u8, i64, p_u16]
     lib.xorf_build.restype = ctypes.c_int
     lib.xorf_build.argtypes = [p_u64, i64, ctypes.c_int, ctypes.c_int,
                                ctypes.c_uint32, ctypes.c_uint64, i64,

@@ -969,10 +969,11 @@ def hash_sample(ds, key_col: str, rate: float, kernel: str = "gxh64"):
     key together -- the property a resumable 100-TB pipeline needs.
 
     kernel='gxh64' (default): vectorized native/NumPy string hash, top 16
-    bits.  kernel='md5': first two digest bytes big-endian -- md5 is a
-    per-string C primitive (no vectorized form exists; ~2.5M keys/s/core,
-    the same order as the NumPy hash path) chosen because any other engine
-    can reproduce the selection; DuckDB:
+    bits.  kernel='md5': first two digest bytes big-endian -- md5 is
+    inherently per-string/sequential, but the batch C kernel
+    (_native.c:md5_u16_bytes) removes the Python loop + hashlib object
+    overhead (the hashlib fallback remains bit-identical); chosen because
+    any other engine can reproduce the selection; DuckDB:
     ``('0x' || substr(md5(key), 1, 4))::INT < floor(rate * 65536)``."""
     thresh = int(rate * 65536)
 
@@ -980,16 +981,39 @@ def hash_sample(ds, key_col: str, rate: float, kernel: str = "gxh64"):
         import pyarrow.compute as pc
         col = pc.fill_null(batch[key_col], "")
         if kernel == "md5":
-            import hashlib
-            buf = b"".join(hashlib.md5(v.encode()).digest()[:2]
-                           for v in col.to_pylist())
-            h16 = np.frombuffer(buf, dtype=">u2").astype(np.int64)
+            h16 = _md5_u16(col).astype(np.int64)
         else:
             from .hashing import hash_strings
             h16 = (hash_strings(col) >> np.uint64(48)).astype(np.int64)
         return batch.filter(pa.array(h16 < thresh))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _md5_u16(col) -> np.ndarray:
+    """Big-endian u16 of each string's first two md5 digest bytes
+    (the DuckDB ``('0x' || substr(md5(k), 1, 4))::INT`` value), via the
+    batch C kernel when available, bit-identical hashlib loop otherwise
+    (parity pinned by tests/test_native.py)."""
+    from .hashing import _string_buffers
+    from .native import get_lib
+
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return np.zeros(0, dtype=np.uint16)
+        return np.concatenate([_md5_u16(c) for c in col.chunks])
+    lib = get_lib()
+    if lib is not None:
+        offsets, data = _string_buffers(col)
+        out = np.empty(len(col), dtype=np.uint16)
+        lib.md5_u16_bytes(np.ascontiguousarray(offsets, dtype=np.int64),
+                          np.ascontiguousarray(data, dtype=np.uint8),
+                          len(col), out)
+        return out
+    import hashlib
+    buf = b"".join(hashlib.md5(v.encode()).digest()[:2]
+                   for v in col.to_pylist())
+    return np.frombuffer(buf, dtype=">u2").astype(np.uint16)
 
 
 def exact_quantiles_via_counts(ds, value_fn, qs: list[float],

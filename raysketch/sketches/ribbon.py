@@ -282,23 +282,50 @@ def _backsub_packed(c_lo, c_hi, res, size: int, coeff_bits: int,
     return sol[::-1].astype(_RES_DTYPES[result_bits])
 
 
-def _eliminate_native(lib, pos, lo, hi, rr, size: int):
-    """C cascade elimination (ctypes).  Same success set as the NumPy
-    round-parallel path (consistency is a rank property, independent of
-    pivot order); stored rows may differ but solve the same system."""
-    c_lo = np.zeros(size, dtype=U64)
-    res = np.zeros(size, dtype=U64)
-    pos = np.ascontiguousarray(pos, dtype=np.int64)
-    lo = np.ascontiguousarray(lo, dtype=U64)
-    rr64 = np.ascontiguousarray(rr, dtype=U64)
-    if hi is None:
-        ok = lib.ribbon_eliminate64(len(pos), pos, lo, rr64, c_lo, res)
-        return (c_lo, None, res) if ok else None
-    c_hi = np.zeros(size, dtype=U64)
-    hi = np.ascontiguousarray(hi, dtype=U64)
-    ok = lib.ribbon_eliminate128(len(pos), pos, lo, hi, rr64,
-                                 c_lo, c_hi, res)
-    return (c_lo, c_hi, res) if ok else None
+#: per-process scratch for the fused C build (band cells + u32 solution),
+#: grown monotonically and reused across seed attempts / construct calls.
+#: Fresh allocation per attempt would pay this host's SERIAL first-touch
+#: page provisioning (0.01-2 GB/s, see CLAUDE.md "VM noise") on every
+#: retry -- measured 0.62 s vs 0.026 s for one 200k-key u128 attempt.
+#: Ray tasks are single-threaded per worker process, so no lock needed.
+_SCRATCH = {"cells": np.empty(0, dtype=U64),
+            "sol": np.empty(0, dtype=np.uint32)}
+
+
+def _scratch(n_cells: int, n_sol: int):
+    if _SCRATCH["cells"].size < n_cells:
+        _SCRATCH["cells"] = np.empty(n_cells, dtype=U64)
+    if _SCRATCH["sol"].size < n_sol:
+        _SCRATCH["sol"] = np.empty(n_sol, dtype=np.uint32)
+    return _SCRATCH["cells"][:n_cells], _SCRATCH["sol"][:n_sol]
+
+
+def _build_native(lib, hashes: np.ndarray, seed: int, size: int,
+                  coeff_bits: int, result_bits: int):
+    """Fused C construction attempt (_native.c:ribbon_build64/128):
+    per-key derivation (seed remix, smash start position, coefficient
+    and result rows -- the exact formulas _remix/_start_pos_np/
+    _coeff_rows_np/_result_rows_np vectorize), the one-key-at-a-time
+    banded elimination cascade, and shift-register back-substitution in
+    ONE call per (seed, size) try.  The band's {coeff, result} pair is
+    packed into one 16-byte (u64) / 32-byte (u128) cell so each
+    data-dependent chase step touches one cache line instead of two,
+    and derivation runs a few keys ahead so each key's start cell is
+    prefetched.  Same success set as the NumPy round-parallel path
+    (consistency is a rank property, independent of pivot order), so
+    native and NumPy accept the SAME (multiplier, seed) and the seed
+    schedule stays deterministic (pinned by tests/test_native.py).
+    Returns the solution array or None on inconsistency."""
+    hashes = np.ascontiguousarray(hashes, dtype=U64)
+    if coeff_bits <= 64:
+        cells, sol32 = _scratch(2 * size, size)
+        ok = lib.ribbon_build64(hashes, len(hashes), seed, size,
+                                coeff_bits, result_bits, cells, sol32)
+    else:
+        cells, sol32 = _scratch(4 * size, size)
+        ok = lib.ribbon_build128(hashes, len(hashes), seed, size,
+                                 result_bits, cells, sol32)
+    return sol32.astype(_RES_DTYPES[result_bits]) if ok else None
 
 
 def _backsub_native(lib, c_lo, c_hi, res, size: int, coeff_bits: int,
@@ -365,23 +392,22 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
         start_range = size + 1 - coeff_bits
         for _ in range(_NUM_TRIES):
             seed = next_seed()
+            if lib is not None:
+                solution = _build_native(lib, hashes, seed, size,
+                                         coeff_bits, result_bits)
+                if solution is None:
+                    continue
+                return seed, solution
             mixed = _remix(hashes, seed)
             pos_arr = _start_pos_np(seed, start_range, mixed, coeff_bits)
             lo, hi = _coeff_rows_np(seed, mixed, coeff_bits)
             rr = _result_rows_np(seed, mixed, result_bits)
-            if lib is not None:
-                elim = _eliminate_native(lib, pos_arr, lo, hi, rr, size)
-            else:
-                elim = _eliminate_np(pos_arr, lo, hi, rr, size, coeff_bits)
+            elim = _eliminate_np(pos_arr, lo, hi, rr, size, coeff_bits)
             if elim is None:
                 continue
             c_lo, c_hi, res = elim
-            if lib is not None:
-                solution = _backsub_native(lib, c_lo, c_hi, res, size,
-                                           coeff_bits, result_bits)
-            else:
-                solution = _backsub_packed(c_lo, c_hi, res, size,
-                                           coeff_bits, result_bits)
+            solution = _backsub_packed(c_lo, c_hi, res, size,
+                                       coeff_bits, result_bits)
             return seed, solution
 
     raise RuntimeError(

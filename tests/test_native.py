@@ -251,3 +251,26 @@ def test_xorf_check_bit_identical(arity, fp_bits, monkeypatch, numpy_only):
     r_c = f.check(probe)
     assert np.array_equal(r_c, r_np)
     assert r_c[:2000].all()
+
+
+# ----------------------------------------------------------------- md5
+def test_md5_u16_native_bit_identical(monkeypatch, numpy_only):
+    """Batch C md5 kernel (first two digest bytes, big-endian u16) must
+    match the hashlib loop byte-for-byte — empty strings, NULs, multi-
+    byte UTF-8, and >64-byte (multi-block) inputs included."""
+    import hashlib
+    import pyarrow as pa
+    from raysketch import pipeline
+
+    strs = ["", "a", "abc", "hello world", "x" * 55, "y" * 56, "z" * 64,
+            "w" * 65, "long" * 500, "\x00nul\x00", "日本語テキスト",
+            "https://example.com/path?q=1"] * 7
+    col = pa.array(strs, type=pa.string())
+    exp = np.frombuffer(
+        b"".join(hashlib.md5(v.encode()).digest()[:2] for v in strs),
+        dtype=">u2").astype(np.uint16)
+    got_np = pipeline._md5_u16(col)          # hashlib fallback (numpy_only)
+    assert np.array_equal(got_np, exp)
+    monkeypatch.setattr(native, "_LIB", lib)
+    got_c = pipeline._md5_u16(col)
+    assert np.array_equal(got_c, exp)
