@@ -15,10 +15,12 @@ reference's per-bit-column shift-register recurrence:
 
 (sol rows past the end are zero, matching the zero-initialized `state` at
 src/ribbon.zig:112-113), and the probe is fully vectorized NumPy.  The
-insertion cascade is inherently sequential, so construct() runs it as a
-tight Python-int loop per partition; partitions build in parallel as Ray
-tasks.  At real-cluster scale this inner loop is the one kernel that would
-justify a compiled extension -- flagged in its docstring, not hidden.
+insertion cascade is inherently sequential: with a C compiler present the
+whole per-seed attempt (derivation + packed-cell cascade + backsub) runs
+as ONE fused native call (_native.c:ribbon_build64/128, see
+_build_native); without one, a round-parallel NumPy elimination plus a
+lane-packed backsub take over.  Partitions build in parallel as Ray
+tasks either way.
 
 Supported: coeff_bits in {32, 64, 128}; result_bits in {8, 16, 32}
 (byte-aligned widths only; the reference's sub-byte ResultRows store one

@@ -137,6 +137,22 @@ def _fingerprint(h: np.ndarray, fp_bits: int) -> np.ndarray:
     return v.astype(_FP_DTYPES[fp_bits])
 
 
+#: per-process scratch for the native build's work buffers, grown
+#: monotonically and reused across construct calls: a fresh ~8 MB
+#: allocation per partition build pays this host's SERIAL first-touch
+#: page provisioning on every call (see CLAUDE.md "VM noise" and the
+#: matching scratch in sketches/ribbon.py).  Ray tasks are
+#: single-threaded per worker process, so no lock needed.
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size:
+        buf = _SCRATCH[name] = np.empty(size, dtype=dtype)
+    return buf[:size]
+
+
 def construct(hashes: np.ndarray, arity: int, fp_bits: int):
     """Seed-retry peeling build. Returns (header, fingerprints).
 
@@ -162,11 +178,11 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         # Same SplitMix64 seed schedule; peel success is a 2-core
         # property of (seed, keys) alone, so native and NumPy accept the
         # SAME seed (pinned by tests/test_native.py).
-        cells = np.empty(2 * array_len, dtype=U64)  # {xormask, count}
-        queue = np.empty(array_len, dtype=np.uint32)
-        stack_h = np.empty(max(n, 1), dtype=U64)
-        stack_hi = np.empty(max(n, 1), dtype=np.uint8)
-        fp32 = np.zeros(array_len, dtype=np.uint32)
+        cells = _scratch("cells", 2 * array_len, U64)  # {xormask, count}
+        queue = _scratch("queue", array_len, np.uint32)
+        stack_h = _scratch("stack_h", max(n, 1), U64)
+        stack_hi = _scratch("stack_hi", max(n, 1), np.uint8)
+        fp32 = _scratch("fp32", array_len, np.uint32)  # C memsets on entry
         seed_out = ctypes.c_uint64(0)
         attempts = lib.xorf_build(
             np.ascontiguousarray(hashes, U64), n, arity, fp_bits,
