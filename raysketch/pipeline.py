@@ -85,6 +85,98 @@ def hashed_keys(ds, key_col: str, num_partitions: int, seed: int = 0):
     return ds.map_batches(_hash, batch_format="pyarrow")
 
 
+def _pack_by_pid(batch: pa.Table, coarse: int = 0) -> pa.Table:
+    """Pack a (pid, h) block into ONE large_binary blob of raw u64 hash
+    bytes per pid: the build exchange then shuffles ~(map_blocks x
+    partitions) fat rows instead of one row per key.  Ray's sort-based
+    groupby pays per ROW (sampling, per-block argsort, range split)
+    -- measured as a ~19 s wall FLOOR for a 93.6M-row (pid,h) exchange
+    that is IDENTICAL at 4 and 16 cpus, i.e. a serial resource that
+    caps scaling once builds are fast.  Packing moves the same bytes
+    through ~7k rows, so the sort's per-row costs vanish.
+
+    coarse > 0 additionally emits `_c` = pid % coarse, the reduce key
+    for the coarse exchange (_coarse_group_count): the shuffle's
+    intermediate-OBJECT count is map_blocks x reduce_groups, and
+    per-object store overhead is the next floor after per-row costs.
+
+    Scale note: emitted rows per map block = min(partitions,
+    block_rows); for jobs where num_partitions approaches block row
+    counts, bucket pids coarser first (two-level exchange) -- at ~1M
+    keys/filter and multi-million-row blocks this stays far from that
+    regime."""
+    pid = np.asarray(batch["pid"], dtype=np.int64)
+    h = np.asarray(batch["h"], dtype=U64)
+    if pid.size == 0:
+        cols = {"pid": pa.array([], pa.uint32()),
+                "blob": pa.array([], pa.large_binary())}
+        if coarse:
+            cols["_c"] = pa.array([], pa.int32())
+        return pa.table(cols)
+    order = np.argsort(pid, kind="stable")
+    pid_s = pid[order]
+    h_s = np.ascontiguousarray(h[order])
+    starts = np.flatnonzero(
+        np.concatenate([[True], pid_s[1:] != pid_s[:-1]]))
+    bounds = np.append(starts, pid_s.size)
+    offsets = (bounds * 8).astype(np.int64)
+    blob = pa.Array.from_buffers(
+        pa.large_binary(), len(starts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(h_s.tobytes())])
+    uniq = pid_s[starts]
+    cols = {"pid": pa.array(uniq.astype(np.uint32), pa.uint32()),
+            "blob": blob}
+    if coarse:
+        cols["_c"] = pa.array((uniq % coarse).astype(np.int32))
+    return pa.table(cols)
+
+
+def _unpack_group_hashes(group: pa.Table) -> np.ndarray:
+    """Concatenated u64 hashes of one pid's packed blobs.  All rows in
+    the group share one pid, so each chunk's payload is one contiguous
+    byte range (offsets are ascending within a chunk)."""
+    col = group["blob"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        off = np.frombuffer(ch.buffers()[1], dtype=np.int64)
+        off = off[ch.offset:ch.offset + len(ch) + 1]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        parts.append(data[off[0]:off[-1]].view(U64))
+    if not parts:
+        return np.zeros(0, dtype=U64)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _coarse_group_count(num_partitions: int) -> int:
+    """Reduce-task count for the build exchange: ~2 groups per cluster
+    cpu, capped at num_partitions.  Ray's sort shuffle creates
+    (map_blocks x reduce_groups) intermediate objects, and per-object
+    store overhead -- NOT bytes -- measured as the exchange's wall
+    floor (~20 s for 29x234 objects, identical at 4 and 16 cpus).
+    Grouping on pid % C and building the several pids of a coarse
+    group inside one reduce task keeps every build single-partition
+    (byte-identical outputs) while cutting intermediates to
+    map_blocks x C.  On a multi-node cluster C scales with total cpus,
+    exactly like the reduce side of a real exchange."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:                      # noqa: BLE001 -- planning only
+        cpus = 0
+    return max(1, min(num_partitions, 2 * (cpus or 8)))
+
+
+def _packed_groups(group: pa.Table):
+    """Yield (pid, hashes) for every pid in a coarse packed group."""
+    pids = np.asarray(group["pid"], dtype=np.int64)
+    for p in np.unique(pids):
+        sub = group.filter(pa.array(pids == p))
+        yield int(p), _unpack_group_hashes(sub)
+
+
 def _build_one(kind: str, params: dict, hashes: np.ndarray,
                pid: int, num_partitions: int,
                self_check: bool = False) -> dict:
@@ -137,10 +229,14 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
     task (zero-false-negative assert, fully distributed; does not alter
     the built payload or the checkpoint identity).
 
-    The groupby(pid) is the single all-to-all exchange, and it moves only
-    12 bytes/row.  With a checkpoint_dir, already-built partitions are
-    skipped (anti-join on partition_id) and only missing ones are rebuilt
-    -- the filter table IS the checkpoint (SURVEY.md §4).
+    The groupby(pid) is the single all-to-all exchange; hashes cross it
+    packed as one raw-u64 large_binary blob per (map block, pid)
+    (_pack_by_pid), so the exchange moves ~8 bytes/key in ~(blocks x
+    partitions) rows -- Ray's sort shuffle pays per row, and per-key
+    rows made it a cpu-count-independent wall floor.  With a
+    checkpoint_dir, already-built partitions are skipped (anti-join on
+    partition_id) and only missing ones are rebuilt -- the filter table
+    IS the checkpoint (SURVEY.md §4).
     """
     import ray.data as rd
 
@@ -179,7 +275,9 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         done = {int(r) for r in
                 rd.read_parquet(parts_dir).to_pandas()["partition_id"]}
 
-    keys = hashed_keys(ds, key_col, num_partitions, seed)
+    C = _coarse_group_count(num_partitions)
+    keys = hashed_keys(ds, key_col, num_partitions, seed).map_batches(
+        lambda t, _C=C: _pack_by_pid(t, _C), batch_format="pyarrow")
     if done:
         done_arr = np.array(sorted(done), dtype=np.int64)
         keys = keys.map_batches(
@@ -188,13 +286,12 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
             batch_format="pyarrow")
 
     def build_group(group: pa.Table) -> pa.Table:
-        pid = int(group["pid"][0].as_py())
-        h = np.asarray(group["h"], dtype=U64)
-        return _rows_to_table([_build_one(kind, params, h, pid,
-                                          num_partitions,
-                                          self_check=self_check)])
+        return _rows_to_table([
+            _build_one(kind, params, h, pid, num_partitions,
+                       self_check=self_check)
+            for pid, h in _packed_groups(group)])
 
-    built = keys.groupby("pid").map_groups(build_group, batch_format="pyarrow")
+    built = keys.groupby("_c").map_groups(build_group, batch_format="pyarrow")
     if checkpoint_dir:
         os.makedirs(parts_dir, exist_ok=True)
         built = built.materialize()
@@ -218,18 +315,19 @@ def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
     deterministic over the sorted unique hashes -- pytest-pinned).
     Filter rows by 'kind'/'params' to split per spec."""
     specs = [(kind, dict(params or {})) for kind, params in specs]
-    keys = hashed_keys(ds, key_col, num_partitions, seed)
+    C = _coarse_group_count(num_partitions)
+    keys = hashed_keys(ds, key_col, num_partitions, seed).map_batches(
+        lambda t, _C=C: _pack_by_pid(t, _C), batch_format="pyarrow")
 
     def build_group(group: pa.Table) -> pa.Table:
-        pid = int(group["pid"][0].as_py())
-        h = np.asarray(group["h"], dtype=U64)
         return _rows_to_table([
             _build_one(kind, params, h, pid, num_partitions,
                        self_check=self_check)
+            for pid, h in _packed_groups(group)
             for kind, params in specs])
 
-    return keys.groupby("pid").map_groups(build_group,
-                                          batch_format="pyarrow")
+    return keys.groupby("_c").map_groups(build_group,
+                                         batch_format="pyarrow")
 
 
 def load_filters(filter_table) -> dict[int, object]:

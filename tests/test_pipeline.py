@@ -351,3 +351,50 @@ def test_grouped_reduce_matches_pandas(ray_session):
     want2 = (df2.groupby("k", as_index=False).agg(latest=("t", "max"))
              .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_pack_by_pid_roundtrip_no_ray():
+    """The packed build exchange (_pack_by_pid -> _unpack_group_hashes)
+    must carry every (pid, h) pair losslessly: per-pid blobs of raw u64
+    bytes, sliced / multi-chunk group tables included."""
+    import pyarrow as pa
+    from raysketch.pipeline import _pack_by_pid, _unpack_group_hashes
+
+    rng = np.random.default_rng(5)
+    n, P = 50_000, 37
+    pid = rng.integers(0, P, n).astype(np.uint32)
+    h = rng.integers(0, 2**64, n, dtype=np.uint64)
+    batch = pa.table({"pid": pa.array(pid), "h": pa.array(h)})
+    packed = _pack_by_pid(batch)
+    assert packed.num_rows == len(np.unique(pid))
+    # emulate the post-shuffle group for each pid, including a sliced
+    # and a rechunked view of the packed rows
+    for p in (0, 7, P - 1):
+        mask = np.asarray(packed["pid"]) == p
+        grp = packed.filter(pa.array(mask))
+        grp2 = pa.Table.from_batches(
+            grp.to_batches(max_chunksize=1))         # many tiny chunks
+        want = np.sort(h[pid == p])
+        for g in (grp, grp2, grp.slice(0, grp.num_rows)):
+            got = np.sort(_unpack_group_hashes(g))
+            assert np.array_equal(got, want)
+    # empty batch keeps the schema
+    empty = _pack_by_pid(batch.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.field("blob").type == pa.large_binary()
+
+    # coarse mode: _c = pid % C, and _packed_groups recovers every
+    # (pid, hashes) of a coarse group losslessly
+    from raysketch.pipeline import _packed_groups
+    C = 5
+    packed_c = _pack_by_pid(batch, C)
+    assert np.array_equal(np.asarray(packed_c["_c"]),
+                          np.asarray(packed_c["pid"]).astype(np.int64) % C)
+    cvals = np.asarray(packed_c["_c"])
+    for c in (0, C - 1):
+        grp = packed_c.filter(pa.array(cvals == c))
+        got = dict(_packed_groups(grp))
+        want_pids = sorted(p for p in np.unique(pid) if p % C == c)
+        assert sorted(got) == want_pids
+        for p in want_pids:
+            assert np.array_equal(np.sort(got[p]), np.sort(h[pid == p]))
