@@ -284,22 +284,13 @@ def _backsub_packed(c_lo, c_hi, res, size: int, coeff_bits: int,
     return sol[::-1].astype(_RES_DTYPES[result_bits])
 
 
-#: per-process scratch for the fused C build (band cells + u32 solution),
-#: grown monotonically and reused across seed attempts / construct calls.
-#: Fresh allocation per attempt would pay this host's SERIAL first-touch
-#: page provisioning (0.01-2 GB/s, see CLAUDE.md "VM noise") on every
-#: retry -- measured 0.62 s vs 0.026 s for one 200k-key u128 attempt.
-#: Ray tasks are single-threaded per worker process, so no lock needed.
-_SCRATCH = {"cells": np.empty(0, dtype=U64),
-            "sol": np.empty(0, dtype=np.uint32)}
-
-
 def _scratch(n_cells: int, n_sol: int):
-    if _SCRATCH["cells"].size < n_cells:
-        _SCRATCH["cells"] = np.empty(n_cells, dtype=U64)
-    if _SCRATCH["sol"].size < n_sol:
-        _SCRATCH["sol"] = np.empty(n_sol, dtype=np.uint32)
-    return _SCRATCH["cells"][:n_cells], _SCRATCH["sol"][:n_sol]
+    """Reused work buffers for the fused C build (band cells + u32
+    solution) via the shared capped per-process scratch (util.scratch:
+    first-touch-provisioning rationale and the retention-cliff cap)."""
+    from ..util import scratch
+    return (scratch("ribbon.cells", n_cells, U64),
+            scratch("ribbon.sol", n_sol, np.uint32))
 
 
 def _build_native(lib, hashes: np.ndarray, seed: int, size: int,

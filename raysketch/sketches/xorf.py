@@ -137,20 +137,12 @@ def _fingerprint(h: np.ndarray, fp_bits: int) -> np.ndarray:
     return v.astype(_FP_DTYPES[fp_bits])
 
 
-#: per-process scratch for the native build's work buffers, grown
-#: monotonically and reused across construct calls: a fresh ~8 MB
-#: allocation per partition build pays this host's SERIAL first-touch
-#: page provisioning on every call (see CLAUDE.md "VM noise" and the
-#: matching scratch in sketches/ribbon.py).  Ray tasks are
-#: single-threaded per worker process, so no lock needed.
-_SCRATCH: dict = {}
-
-
 def _scratch(name: str, size: int, dtype) -> np.ndarray:
-    buf = _SCRATCH.get(name)
-    if buf is None or buf.size < size:
-        buf = _SCRATCH[name] = np.empty(size, dtype=dtype)
-    return buf[:size]
+    """Reused native-build work buffers via the shared capped
+    per-process scratch (util.scratch: first-touch-provisioning
+    rationale and the retention-cliff cap)."""
+    from ..util import scratch
+    return scratch(f"xorf.{name}", size, dtype)
 
 
 def construct(hashes: np.ndarray, arity: int, fp_bits: int):

@@ -71,3 +71,44 @@ def pool(concurrency):
     if isinstance(concurrency, int):
         return (1, concurrency) if concurrency > 1 else concurrency
     return concurrency
+
+
+# ---------------------------------------------------------------------------
+# Per-process scratch buffers for the native build kernels.
+# ---------------------------------------------------------------------------
+
+#: name -> retained buffer.  Fresh multi-MB allocations per build attempt
+#: pay this host's SERIAL first-touch page provisioning (0.01-2 GB/s,
+#: see CLAUDE.md "VM noise"; measured 0.62 s vs 0.026 s for one 200k-key
+#: u128 ribbon attempt), so hot work buffers are retained and reused.
+_SCRATCH: dict = {}
+
+#: total retained bytes cap.  Retention has its OWN measured cliff on
+#: this host: >= 3 retained ~40 MB sets per long-lived worker degrade
+#: ALL subsequent compute in that worker ~10x (see the decoded-filter
+#: cache note in pipeline.py, which retains up to 2 such sets).  Capping
+#: build scratch at ~one set keeps worker retention at most ~3 sets even
+#: when builds and multi-table probes share warm workers; above the cap
+#: the buffer is simply not retained -- a big build amortizes its own
+#: first-touch, the cliff does not.
+_SCRATCH_CAP = 40 << 20
+
+
+def scratch(name: str, size: int, dtype) -> "np.ndarray":
+    """A C-contiguous work buffer of at least `size` elements, reused
+    across calls when total retention stays under _SCRATCH_CAP.
+    Contents are UNINITIALIZED either way -- callers must overwrite.
+    Ray tasks are single-threaded per worker process, so no lock."""
+    import numpy as np
+
+    buf = _SCRATCH.get(name)
+    dt = np.dtype(dtype)
+    if buf is not None and buf.size >= size and buf.dtype == dt:
+        return buf[:size]
+    need = size * dt.itemsize
+    others = sum(b.nbytes for k, b in _SCRATCH.items() if k != name)
+    if others + need > _SCRATCH_CAP:
+        _SCRATCH.pop(name, None)          # don't retain past the cliff
+        return np.empty(size, dtype=dt)
+    _SCRATCH[name] = np.empty(size, dtype=dt)
+    return _SCRATCH[name]

@@ -143,7 +143,8 @@ def test_xxh3_native_published_vectors():
 
 # -------------------------------------------------------------- ribbon
 @pytest.mark.parametrize("coeff_bits,result_bits",
-                         [(64, 8), (64, 16), (128, 16), (128, 32)])
+                         [(32, 8), (32, 16), (64, 8), (64, 16),
+                          (128, 16), (128, 32)])
 def test_ribbon_native_same_seed_zero_fn(coeff_bits, result_bits,
                                          monkeypatch, numpy_only):
     keys = _keys(20_000, seed=coeff_bits + result_bits)
