@@ -260,6 +260,26 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
                        self_check=True).materialize()
     hashed_keys(urls, "url", P).count()
 
+    # PARALLEL window probe, stamped into the result: co-tenant pressure
+    # on this VM can strangle 16-way memory bandwidth while a
+    # single-core calibration still reads quiet (measured: two adjacent
+    # 16-cpu runs at 2.6x the quiet wall under calib 0.32 s).  Each task
+    # xors a privately-allocated 64 MB buffer 4x; the aggregate GB/s
+    # classifies the window so efficiency pairs can be read post-hoc.
+    @ray.remote(num_cpus=1)
+    def _bw_probe() -> float:
+        import numpy as np
+        import time as _t
+        buf = np.ones(8 << 20, dtype=np.uint64)  # 64 MB
+        acc = np.uint64(0)
+        acc ^= np.bitwise_xor.reduce(buf)        # warm (first touch)
+        t0 = _t.perf_counter()
+        for _ in range(4):
+            acc ^= np.bitwise_xor.reduce(buf)
+        return 4 * buf.nbytes / (_t.perf_counter() - t0) / 1e9
+    per_task = ray.get([_bw_probe.remote() for _ in range(num_cpus)])
+    parallel_bw = round(sum(per_task), 2)
+
     # The timed job is build + in-task zero-FN verify, end to end
     # distributed: hash -> one (pid,h) shuffle -> per-partition holistic
     # construction -> re-probe of the partition's own keys inside the
@@ -299,7 +319,8 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
             "n_keys": n_keys, "num_partitions": P,
             "n_configs": len(specs),
             "keys_per_sec": round(len(specs) * n_keys / wall, 1),
-            "keys_per_sec_def": "key-builds/sec over all n_configs"}
+            "keys_per_sec_def": "key-builds/sec over all n_configs",
+            "parallel_bw_gbps": parallel_bw}
 
 
 def _scaling() -> None:
@@ -341,6 +362,8 @@ def _scaling() -> None:
         "n_keys": runs[lo]["n_keys"],
         f"keys_per_sec_{lo}": runs[lo]["keys_per_sec"],
         f"keys_per_sec_{hi}": runs[hi]["keys_per_sec"],
+        f"bw_gbps_{lo}": runs[lo].get("parallel_bw_gbps"),
+        f"bw_gbps_{hi}": runs[hi].get("parallel_bw_gbps"),
         "pairwise_efficiencies": pairs,
         "scaling_efficiency": eff,
     }))
