@@ -13,6 +13,7 @@
 
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef unsigned __int128 u128;
@@ -857,13 +858,205 @@ static inline void xorf_subhashes(uint64_t h, int arity,
 
 /* Returns number of seed attempts used (>=1) on success, 0 on failure
  * after max_attempts.  seed_out receives the accepted seed.  Work
- * buffers are caller-allocated and reused across attempts:
- * cellbuf u64[2*array_len] (interleaved {xormask, count} 16-byte cells:
- * every counting/peel update touches both fields, so packing them puts
- * each random access on ONE cache line instead of two -- the peel is
- * memory-bound), queue u32[array_len], stack_h u64[n], stack_hi u8[n],
+ * buffers are caller-allocated and reused across attempts; cellbuf
+ * u64[2*array_len] is carved into xormask u64[array_len] (first half)
+ * + count u8[array_len] (start of the second half): split arrays make
+ * the memset 9 bytes/cell instead of 16 and let the singleton scan
+ * stream 1 byte/cell, while the chunked prefetch phases below hide the
+ * extra line touch on the random accesses.  u8 counts can in principle
+ * wrap at 256 keys per cell, but with murmur-mixed positions the
+ * probability of any cell reaching 256 is astronomically small
+ * (multinomial tail ~1e-400 at the 1M-key partition target; the
+ * binary-fuse reference implementation makes the same call with a
+ * 6-bit count).  queue u32[array_len], stack_h u64[n], stack_hi u8[n],
  * fp_out u32[array_len]. */
-typedef struct { uint64_t xormask; uint64_t count; } xorf_cell;
+
+/* Segment index of a key's probe window base: first half of
+ * xorf_subhashes.  A key's arity positions land in segments
+ * [bucket, bucket + arity) exactly (the per-position XOR offset only
+ * perturbs bits BELOW the segment boundary), so counting-sorting keys
+ * by this bucket makes the cell-update pass walk segments in ascending
+ * order with a working set of `arity` segments -- the binary-fuse
+ * paper's startPos bucketing (arXiv:2201.01174 sec 4; the reference's
+ * Zig build inherits the same layout from src/xorf.zig:29-40). */
+static inline uint32_t xorf_bucket(uint64_t h, uint64_t scl, int seg_shift)
+{
+    uint64_t hmix = (h * 0xBF58476D1CE4E5B9ull) >> 32;
+    uint32_t hl = (uint32_t)((scl * (hmix & 0xFFFFFFFFull)) >> 32);
+    return hl >> seg_shift;
+}
+
+/* The build body lives in an always_inline impl taking `arity` so the
+ * two public entry arities compile as separate specializations: the
+ * per-position loops fully unroll, which matters in the three
+ * random-access hot loops below. */
+__attribute__((always_inline))
+static inline int xorf_build_impl(
+    const uint64_t *hashes, int64_t n, const int arity, int fp_bits,
+    uint32_t segment_length, uint64_t segment_count_length,
+    int64_t array_len, uint64_t seed_root, int max_attempts,
+    uint64_t *cellbuf, uint32_t *queue,
+    uint64_t *stack_h, uint8_t *stack_hi,
+    uint32_t *fp_out, uint64_t *seed_out)
+{
+    uint64_t *xormask = cellbuf;
+    uint8_t *count = (uint8_t *)(cellbuf + array_len);
+    uint64_t state = seed_root;
+    uint32_t sub[4];
+    uint32_t fp_mask = fp_bits >= 32 ? 0xFFFFFFFFu
+                                     : ((1u << fp_bits) - 1u);
+    /* counting-sort cursors, one per segment (a few hundred u32s) */
+    int seg_shift = __builtin_ctz(segment_length);
+    int64_t nbuckets = (int64_t)(segment_count_length >> seg_shift);
+    if (nbuckets < 1) nbuckets = 1;
+    uint32_t *cur = (uint32_t *)malloc((size_t)(nbuckets + 1) * 4);
+    if (cur == NULL)
+        return 0;  /* a few-KB malloc failing => let the caller retry/raise */
+    for (int attempt = 1; attempt <= max_attempts; attempt++) {
+        uint64_t seed = sm64_next(&state);
+        /* Counting-sort the seeded hashes by probe-window segment into
+         * stack_h (free until the peel stack starts), then run the cell
+         * counting pass in ascending-segment order: the working set is
+         * `arity` consecutive segments (L2-resident) instead of random
+         * touches over the whole cell array.  Pass 1 stashes the seeded
+         * hashes in the xormask half of cellbuf -- free until the
+         * memset below -- so the scatter rereads them instead of
+         * recomputing murmur. */
+        memset(cur, 0, (size_t)(nbuckets + 1) * 4);
+        uint64_t *htmp = xormask;          /* array_len u64 >= n */
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t h = murmur64a_u64_scalar(hashes[i], seed);
+            htmp[i] = h;
+            cur[xorf_bucket(h, segment_count_length, seg_shift) + 1]++;
+        }
+        for (int64_t b = 1; b <= nbuckets; b++)
+            cur[b] += cur[b - 1];
+        uint64_t *hsorted = stack_h;
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t h = htmp[i];
+            hsorted[cur[xorf_bucket(h, segment_count_length,
+                                    seg_shift)]++] = h;
+        }
+        memset(xormask, 0, (size_t)array_len * 8);
+        memset(count, 0, (size_t)array_len);
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t h = hsorted[i];
+            xorf_subhashes(h, arity, segment_length,
+                           segment_count_length, sub);
+            for (int a = 0; a < arity; a++) {
+                xormask[sub[a]] ^= h;
+                count[sub[a]] += 1;
+            }
+        }
+        int64_t queue_len = 0;
+        for (int64_t c = 0; c < array_len; c++) {
+            queue[queue_len] = (uint32_t)c;       /* branchless push */
+            queue_len += (count[c] == 1);
+        }
+        /* Chunked two-phase peel.  The classic serial pop->derive->
+         * update loop runs at ~30 M pops/s HERE regardless of cell-
+         * array size -- it is bound by data-dependent branches (the
+         * singleton push, the assignment-position compare), not cache
+         * misses.  So: (a) every conditional in the hot path is a
+         * cmov-style arithmetic update, and (b) the FIFO frontier is
+         * processed in chunks of XORF_CH with a derive+prefetch phase
+         * (independent iterations -> full memory-level parallelism;
+         * this VM sustains 16+ concurrent misses at ~6 ns/access vs
+         * 140 ns serial) followed by an apply phase.  Order-freedom:
+         * count==1 means h is the ONLY unpeeled key touching c, so a
+         * parked entry can only be invalidated by h itself peeling via
+         * a sibling cell earlier in the chunk -- the apply-time
+         * `count == 1` recheck drops exactly those, and peel success
+         * stays a 2-core property of (seed, keys) alone (same accepted
+         * seed as the NumPy path, pinned by tests/test_native.py). */
+        enum { XORF_CH = 512 };
+        struct { uint32_t c; uint64_t h; uint32_t sub[4]; }
+            batch[XORF_CH];
+        int64_t qhead = 0, qtail = queue_len, stack_len = 0;
+        while (qhead < qtail) {
+            int64_t take = qtail - qhead;
+            if (take > XORF_CH) take = XORF_CH;
+            int nb = 0;
+            for (int64_t i = 0; i < take; i++) {
+                uint32_t c = queue[qhead + i];
+                int64_t nx = qhead + i + take;
+                if (nx < qtail) {
+                    __builtin_prefetch(&xormask[queue[nx]], 1, 1);
+                    __builtin_prefetch(&count[queue[nx]], 1, 1);
+                }
+                int live = (count[c] == 1);
+                uint64_t h = xormask[c];
+                batch[nb].c = c;
+                batch[nb].h = h;
+                xorf_subhashes(h, arity, segment_length,
+                               segment_count_length, batch[nb].sub);
+                for (int a = 0; a < arity; a++) {
+                    __builtin_prefetch(&xormask[batch[nb].sub[a]], 1, 1);
+                    __builtin_prefetch(&count[batch[nb].sub[a]], 1, 1);
+                }
+                nb += live;   /* dead entries overwritten next iter */
+            }
+            qhead += take;
+            for (int b = 0; b < nb; b++) {
+                uint32_t c = batch[b].c;
+                if (count[c] != 1) continue;  /* sibling peeled h */
+                uint64_t h = batch[b].h;
+                stack_h[stack_len] = h;
+                uint32_t hi = 0;
+                for (int a = 0; a < arity; a++) {
+                    uint32_t s = batch[b].sub[a];
+                    xormask[s] ^= h;
+                    uint8_t cnt = count[s] - 1;
+                    count[s] = cnt;
+                    hi |= (uint32_t)a & (uint32_t)-(s == c);
+                    queue[qtail] = s;
+                    qtail += (cnt == 1);
+                }
+                stack_hi[stack_len] = (uint8_t)hi;
+                stack_len++;
+            }
+        }
+        if (stack_len < n) continue;
+        memset(fp_out, 0, (size_t)array_len * 4);
+        /* Back-substitution, same chunked shape: phase A derives
+         * positions and prefetches fp_out lines (no value reads), the
+         * apply phase runs in strict reverse-stack order so the
+         * later-peeled-assignments-first invariant is untouched; the
+         * assignment-position select is branchless masking. */
+        {
+            struct { uint32_t sub[4]; uint32_t hi; uint64_t h; }
+                sb[XORF_CH];
+            int64_t j = stack_len;
+            while (j > 0) {
+                int64_t take = j < XORF_CH ? j : XORF_CH;
+                for (int64_t i = 0; i < take; i++) {
+                    uint64_t h = stack_h[j - 1 - i];
+                    sb[i].h = h;
+                    sb[i].hi = stack_hi[j - 1 - i];
+                    xorf_subhashes(h, arity, segment_length,
+                                   segment_count_length, sb[i].sub);
+                    for (int a = 0; a < arity; a++)
+                        __builtin_prefetch(&fp_out[sb[i].sub[a]], 1, 1);
+                }
+                for (int64_t i = 0; i < take; i++) {
+                    uint64_t h = sb[i].h;
+                    uint32_t hi = sb[i].hi;
+                    uint32_t f = (uint32_t)(h ^ (h >> 32)) & fp_mask;
+                    for (int a = 0; a < arity; a++)
+                        f ^= fp_out[sb[i].sub[a]]
+                             & (uint32_t)-((uint32_t)a != hi);
+                    fp_out[sb[i].sub[hi]] = f & fp_mask;
+                }
+                j -= take;
+            }
+        }
+        *seed_out = seed;
+        free(cur);
+        return attempt;
+    }
+    free(cur);
+    return 0;
+}
 
 int xorf_build(const uint64_t *hashes, int64_t n, int arity, int fp_bits,
                uint32_t segment_length, uint64_t segment_count_length,
@@ -872,88 +1065,15 @@ int xorf_build(const uint64_t *hashes, int64_t n, int arity, int fp_bits,
                uint64_t *stack_h, uint8_t *stack_hi,
                uint32_t *fp_out, uint64_t *seed_out)
 {
-    xorf_cell *cells = (xorf_cell *)cellbuf;
-    uint64_t state = seed_root;
-    uint32_t sub[4];
-    uint32_t fp_mask = fp_bits >= 32 ? 0xFFFFFFFFu
-                                     : ((1u << fp_bits) - 1u);
-    for (int attempt = 1; attempt <= max_attempts; attempt++) {
-        uint64_t seed = sm64_next(&state);
-        memset(cells, 0, (size_t)array_len * sizeof(xorf_cell));
-        /* counting pass with a software-pipelined window: derive
-         * (h, positions) PF keys ahead and prefetch their cells so the
-         * random updates overlap their cache misses */
-        enum { PF = 16 };
-        uint64_t ring_h[PF];
-        uint32_t ring_sub[PF][4];
-        int64_t lead = n < PF ? n : PF;
-        for (int64_t i = 0; i < lead; i++) {
-            uint64_t h = murmur64a_u64_scalar(hashes[i], seed);
-            ring_h[i] = h;
-            xorf_subhashes(h, arity, segment_length,
-                           segment_count_length, ring_sub[i]);
-            for (int a = 0; a < arity; a++)
-                __builtin_prefetch(&cells[ring_sub[i][a]], 1, 1);
-        }
-        for (int64_t i = 0; i < n; i++) {
-            int slot = (int)(i % PF);
-            uint64_t h = ring_h[slot];
-            uint32_t *s = ring_sub[slot];
-            for (int a = 0; a < arity; a++) {
-                cells[s[a]].xormask ^= h;
-                cells[s[a]].count += 1;
-            }
-            int64_t nx = i + PF;
-            if (nx < n) {
-                uint64_t hn = murmur64a_u64_scalar(hashes[nx], seed);
-                ring_h[slot] = hn;
-                xorf_subhashes(hn, arity, segment_length,
-                               segment_count_length, ring_sub[slot]);
-                for (int a = 0; a < arity; a++)
-                    __builtin_prefetch(&cells[ring_sub[slot][a]], 1, 1);
-            }
-        }
-        int64_t queue_len = 0;
-        for (int64_t c = 0; c < array_len; c++)
-            if (cells[c].count == 1) queue[queue_len++] = (uint32_t)c;
-        int64_t stack_len = 0;
-        while (queue_len > 0) {
-            uint32_t c = queue[--queue_len];
-            if (cells[c].count != 1) continue;
-            uint64_t h = cells[c].xormask;
-            xorf_subhashes(h, arity, segment_length,
-                           segment_count_length, sub);
-            stack_h[stack_len] = h;
-            for (int a = 0; a < arity; a++) {
-                uint32_t s = sub[a];
-                cells[s].xormask ^= h;
-                cells[s].count -= 1;
-                if (s == c)
-                    stack_hi[stack_len] = (uint8_t)a;
-                else if (cells[s].count == 1)
-                    queue[queue_len++] = s;
-            }
-            stack_len++;
-        }
-        if (stack_len < n) continue;
-        memset(fp_out, 0, (size_t)array_len * 4);
-        while (stack_len > 0) {
-            stack_len--;
-            uint64_t h = stack_h[stack_len];
-            int hi = stack_hi[stack_len];
-            xorf_subhashes(h, arity, segment_length,
-                           segment_count_length, sub);
-            uint32_t f = (uint32_t)(h ^ (h >> 32)) & fp_mask;
-            for (int a = 0; a < arity; a++) {
-                if (a == hi) continue;
-                f ^= fp_out[sub[a]];
-            }
-            fp_out[sub[hi]] = f & fp_mask;
-        }
-        *seed_out = seed;
-        return attempt;
-    }
-    return 0;
+    if (arity == 3)
+        return xorf_build_impl(hashes, n, 3, fp_bits, segment_length,
+                               segment_count_length, array_len, seed_root,
+                               max_attempts, cellbuf, queue, stack_h,
+                               stack_hi, fp_out, seed_out);
+    return xorf_build_impl(hashes, n, 4, fp_bits, segment_length,
+                           segment_count_length, array_len, seed_root,
+                           max_attempts, cellbuf, queue, stack_h,
+                           stack_hi, fp_out, seed_out);
 }
 
 /* ---------------- MD5 (RFC 1321), first-2-digest-bytes batch ----------
