@@ -179,20 +179,33 @@ def _packed_groups(group: pa.Table):
 
 def _build_one(kind: str, params: dict, hashes: np.ndarray,
                pid: int, num_partitions: int,
-               self_check: bool = False) -> dict:
+               self_check: bool = False,
+               assume_unique: bool = False) -> dict:
     t0 = time.perf_counter()
-    uniq = np.unique(np.asarray(hashes, dtype=U64))  # sort+dedup contract,
-    # reference src/bench.zig:258-280 (xorf/ribbon hard-require it)
+    if assume_unique:   # multi-spec builds dedup once per pid upstream
+        uniq = np.asarray(hashes, dtype=U64)
+    else:
+        uniq = np.unique(np.asarray(hashes, dtype=U64))  # sort+dedup
+        # contract, reference src/bench.zig:258-280 (xorf/ribbon
+        # hard-require it)
     cls = FILTER_KINDS[kind]
     if kind == "sbbf":
         nb = params.get("num_blocks") or num_blocks_for(
             len(uniq), params.get("bits_per_key", 10))
-        f = SbbfFilter.create(nb, params.get("bits_per_key", 10))
+        # scratch-backed words: a fresh np.zeros per build pays the
+        # host's SERIAL first-touch page provisioning (BASELINE.md);
+        # safe because to_bytes() copies into the envelope and `f` does
+        # not outlive this call
+        from .util import scratch
+        words = scratch("sbbf.words", nb * 8, U64)
+        words[:] = 0
+        f = SbbfFilter(words, params.get("bits_per_key", 10))
         f.insert(uniq)
         f.num_keys = len(uniq)
     else:
-        f = cls.build(uniq, **{k: v for k, v in params.items()
-                               if k != "num_blocks"})
+        f = cls.build(uniq, assume_unique=True,
+                      **{k: v for k, v in params.items()
+                         if k != "num_blocks"})
     build_s = time.perf_counter() - t0
     if self_check and len(uniq):
         # in-task zero-false-negative verification: runs where the
@@ -320,10 +333,14 @@ def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
         lambda t, _C=C: _pack_by_pid(t, _C), batch_format="pyarrow")
 
     def build_group(group: pa.Table) -> pa.Table:
+        # dedup ONCE per pid (np.unique of 1M u64 ~ one xorf build's
+        # wall), then every spec builds over the same sorted uniques --
+        # byte-identical to per-spec dedup since np.unique is idempotent
         return _rows_to_table([
-            _build_one(kind, params, h, pid, num_partitions,
-                       self_check=self_check)
+            _build_one(kind, params, uniq, pid, num_partitions,
+                       self_check=self_check, assume_unique=True)
             for pid, h in _packed_groups(group)
+            for uniq in (np.unique(np.asarray(h, dtype=U64)),)
             for kind, params in specs])
 
     return keys.groupby("_c").map_groups(build_group,

@@ -422,8 +422,12 @@ class RibbonFilter(Sketch):
 
     @classmethod
     def build(cls, hashes: np.ndarray, coeff_bits: int = 64,
-              result_bits: int = 16) -> "RibbonFilter":
-        hashes = np.unique(np.asarray(hashes, dtype=U64))  # dedup contract
+              result_bits: int = 16,
+              assume_unique: bool = False) -> "RibbonFilter":
+        if assume_unique:  # caller already honored the sort+dedup contract
+            hashes = np.asarray(hashes, dtype=U64)
+        else:
+            hashes = np.unique(np.asarray(hashes, dtype=U64))  # dedup contract
         if len(hashes) == 0:
             return cls(0, np.zeros(0, dtype=_RES_DTYPES[result_bits]),
                        coeff_bits, result_bits, 0)

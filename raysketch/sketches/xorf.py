@@ -269,8 +269,14 @@ class XorFilter(Sketch):
 
     @classmethod
     def build(cls, hashes: np.ndarray, fp_bits: int = 16,
-              arity: int = 3) -> "XorFilter":
-        hashes = np.unique(np.asarray(hashes, dtype=U64))  # dedup contract
+              arity: int = 3, assume_unique: bool = False) -> "XorFilter":
+        """assume_unique=True skips the internal sort+dedup; the caller
+        must already have honored the contract (construction REQUIRES
+        deduplicated hashes -- see module docstring)."""
+        if assume_unique:
+            hashes = np.asarray(hashes, dtype=U64)
+        else:
+            hashes = np.unique(np.asarray(hashes, dtype=U64))  # dedup contract
         header, fps = construct(hashes, arity, fp_bits)
         return cls(header, fps, arity, fp_bits, num_keys=len(hashes))
 

@@ -104,11 +104,20 @@ def scratch(name: str, size: int, dtype) -> "np.ndarray":
     buf = _SCRATCH.get(name)
     dt = np.dtype(dtype)
     if buf is not None and buf.size >= size and buf.dtype == dt:
+        _SCRATCH[name] = _SCRATCH.pop(name)   # mark most-recently-used
         return buf[:size]
     need = size * dt.itemsize
-    others = sum(b.nbytes for k, b in _SCRATCH.items() if k != name)
-    if others + need > _SCRATCH_CAP:
-        _SCRATCH.pop(name, None)          # don't retain past the cliff
+    _SCRATCH.pop(name, None)
+    # Evict least-recently-used OTHER entries until the new buffer fits
+    # under the retention cliff (insertion order == recency; see the
+    # move-to-end above).  The old behavior -- permanently disabling
+    # retention for the REQUESTING name on overflow -- meant a multi-
+    # spec build where xorf retained first left ribbon paying the
+    # serial first-touch provisioning cost on every seed attempt.
+    while _SCRATCH and (sum(b.nbytes for b in _SCRATCH.values())
+                        + need > _SCRATCH_CAP):
+        _SCRATCH.pop(next(iter(_SCRATCH)))
+    if need > _SCRATCH_CAP:               # single buffer over the cliff
         return np.empty(size, dtype=dt)
     _SCRATCH[name] = np.empty(size, dtype=dt)
     return _SCRATCH[name]
