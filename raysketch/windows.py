@@ -84,72 +84,138 @@ def hopping_window_agg(ds, ts_col: str, window_s: int, hop_s: int,
 
 
 def session_windows(ds, key_col: str, ts_col: str, value_col: str,
-                    gap_s: int, num_partitions: int = 64):
+                    gap_s: int, num_partitions: int = 64,
+                    bucket_s: int | None = None):
     """Per-key sessions: consecutive events of a key belong to one session
     while inter-event gap <= gap_s; sessions numbered 1..k per key in time
     order (pinned so the SQL oracle's lag()+cumsum reproduces it).
 
-    Shape: ONE int32 hash-partition shuffle on the key (every key's rows
-    land in exactly one partition), then a fully vectorized per-partition
-    sessionize -- lexsort by (key, ts), session breaks = key change OR
-    gap, per-session reduceat.  Replaces one Ray sort-groupby task per
-    key (key cardinality is unbounded at scale)."""
+    HOT-KEY-SAFE two-stage shape (the single-stage version hash-
+    partitioned by key alone, so one pathological key -- a bot with 1e9
+    events -- made one unbounded group):
+
+      stage 1  hash-partition by (key, time bucket) where bucket width
+               bucket_s defaults to 10*gap_s; sessionize each
+               (key, bucket) run vectorized.  Group volume is bounded by
+               event-rate * bucket_s even for a single hot key.
+      stage 2  hash-partition the PARTIAL SESSIONS (already reduced to
+               one row per session fragment) by key alone; merge
+               fragments whose inter-fragment gap <= gap_s with the
+               same lexsort + run-boundary scan, then number sessions.
+
+    Exact for any bucket width: within a bucket fragments are maximal
+    (split only at real gaps), and a session crosses a bucket boundary
+    iff the boundary gap <= gap_s -- precisely the stage-2 merge
+    condition (fragments of one key never overlap in time, so sorted-by-
+    start implies sorted-by-end and the scan is a plain interval merge).
+    Stage-2 skew is bounded by the key's SESSION count (output-sized),
+    not its event count."""
     from .hashing import murmur64a_u64
     gap_us = gap_s * 1_000_000
+    bucket_us = (bucket_s if bucket_s is not None else 10 * gap_s) * 1_000_000
 
     def part(t: pa.Table) -> pa.Table:
         k = np.asarray(t[key_col], dtype=np.int64)
-        h = murmur64a_u64(k.view(np.uint64), 31)
+        ts = np.asarray(t[ts_col]).astype("datetime64[us]").astype(np.int64)
+        bucket = ts // bucket_us
+        h = murmur64a_u64(k.view(np.uint64), 31) \
+            ^ murmur64a_u64(bucket.view(np.uint64), 77)
         return pa.table({
             key_col: t[key_col], ts_col: t[ts_col],
             value_col: t[value_col],
+            "_bkt": pa.array(bucket),
             "_part": pa.array((h % np.uint64(num_partitions))
                               .astype(np.int32)),
         })
 
-    def sessionize(g: pa.Table) -> pa.Table:
+    def fragment(g: pa.Table) -> pa.Table:
+        """Stage 1: maximal sessions within each (key, bucket) run."""
         key = np.asarray(g[key_col], dtype=np.int64)
         ts_orig = np.asarray(g[ts_col]).astype("datetime64[us]")
         ts = ts_orig.astype(np.int64)
         val = np.asarray(g[value_col])
+        bkt = np.asarray(g["_bkt"], dtype=np.int64)
         if key.size == 0:
             return pa.table({
                 key_col: pa.array([], g[key_col].type),
-                "session_id": pa.array([], pa.int64()),
                 "session_start": pa.array(ts_orig[:0]),
                 "session_end": pa.array(ts_orig[:0]),
                 "n_events": pa.array([], pa.int64()),
                 "sum_value": pa.array(val[:0]),
             })
-        order = np.lexsort((ts, key))
-        key, ts, val = key[order], ts[order], val[order]
+        order = np.lexsort((ts, bkt, key))
+        key, ts, val, bkt = key[order], ts[order], val[order], bkt[order]
         n = len(key)
-        newkey = key[1:] != key[:-1]
+        newrun = (key[1:] != key[:-1]) | (bkt[1:] != bkt[:-1])
         breaks = np.concatenate(
-            [[True], newkey | (ts[1:] - ts[:-1] > gap_us)])
+            [[True], newrun | (ts[1:] - ts[:-1] > gap_us)])
         s_starts = np.flatnonzero(breaks)
         bounds = np.append(s_starts, n)
-        # sessions numbered 1..k per key: global session index minus the
-        # key's first session index
-        sid_glob = np.cumsum(breaks)
-        key_starts = np.flatnonzero(np.concatenate([[True], newkey]))
-        key_bounds = np.append(key_starts, n)
-        base = np.repeat(sid_glob[key_starts],
-                         np.diff(key_bounds))
-        sid = (sid_glob - base + 1)[s_starts]
         ts_sorted = ts_orig[order]
         return pa.table({
             key_col: pa.array(key[s_starts], g[key_col].type),
-            "session_id": pa.array(sid.astype(np.int64)),
             "session_start": pa.array(ts_sorted[s_starts]),
             "session_end": pa.array(ts_sorted[bounds[1:] - 1]),
             "n_events": pa.array(np.diff(bounds).astype(np.int64)),
             "sum_value": pa.array(np.add.reduceat(val, s_starts)),
         })
 
-    return (ds.map_batches(part, batch_format="pyarrow")
-              .groupby("_part")
-              .map_groups(sessionize, batch_format="pyarrow"))
+    def part2(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col], dtype=np.int64)
+        h = murmur64a_u64(k.view(np.uint64), 31)
+        return t.append_column(
+            "_part2", pa.array((h % np.uint64(num_partitions))
+                               .astype(np.int32)))
+
+    def stitch(g: pa.Table) -> pa.Table:
+        """Stage 2: merge bucket-boundary fragments, number sessions."""
+        key = np.asarray(g[key_col], dtype=np.int64)
+        start_orig = np.asarray(g["session_start"]).astype("datetime64[us]")
+        end_orig = np.asarray(g["session_end"]).astype("datetime64[us]")
+        start = start_orig.astype(np.int64)
+        end = end_orig.astype(np.int64)
+        nev = np.asarray(g["n_events"], dtype=np.int64)
+        val = np.asarray(g["sum_value"])
+        if key.size == 0:
+            return pa.table({
+                key_col: pa.array([], g[key_col].type),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array(start_orig[:0]),
+                "session_end": pa.array(end_orig[:0]),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array(val[:0]),
+            })
+        order = np.lexsort((start, key))
+        key, start, end = key[order], start[order], end[order]
+        nev, val = nev[order], val[order]
+        n = len(key)
+        newkey = key[1:] != key[:-1]
+        breaks = np.concatenate(
+            [[True], newkey | (start[1:] - end[:-1] > gap_us)])
+        s_starts = np.flatnonzero(breaks)
+        bounds = np.append(s_starts, n)
+        sid_glob = np.cumsum(breaks)
+        key_starts = np.flatnonzero(np.concatenate([[True], newkey]))
+        key_bounds = np.append(key_starts, n)
+        base = np.repeat(sid_glob[key_starts], np.diff(key_bounds))
+        sid = (sid_glob - base + 1)[s_starts]
+        start_sorted = start_orig[order]
+        end_sorted = end_orig[order]
+        return pa.table({
+            key_col: pa.array(key[s_starts], g[key_col].type),
+            "session_id": pa.array(sid.astype(np.int64)),
+            "session_start": pa.array(start_sorted[s_starts]),
+            "session_end": pa.array(end_sorted[bounds[1:] - 1]),
+            "n_events": pa.array(np.add.reduceat(nev, s_starts)),
+            "sum_value": pa.array(np.add.reduceat(val, s_starts)),
+        })
+
+    frags = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("_part")
+               .map_groups(fragment, batch_format="pyarrow"))
+    return (frags.map_batches(part2, batch_format="pyarrow")
+                 .groupby("_part2")
+                 .map_groups(stitch, batch_format="pyarrow"))
 
 
 def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,

@@ -99,3 +99,82 @@ def test_hopping_window_covers_each_event_twice(ray_session):
     m = (ev["ts"] >= w0) & (ev["ts"] < w0 + pd.Timedelta(hours=1)) \
         & (ev["event_type"] == s["event_type"])
     assert int(m.sum()) == int(s["n"])
+
+
+def test_session_windows_hot_key_splits_buckets(ray_session):
+    """One pathological key whose event history far exceeds any single
+    batch: the two-stage sessionizer must (a) split its history across
+    many (key, bucket) stage-1 groups instead of one monolithic per-key
+    group, and (b) still produce the exact global sessions, including
+    sessions that span bucket boundaries."""
+    import ray.data as rd
+    from raysketch.windows import session_windows
+
+    rng = np.random.default_rng(42)
+    gap_s = 1800
+    bucket_s = 10 * gap_s  # the default stage-1 bucket width
+    # hot key 7: 60k events in bursts over ~60 days -- hundreds of
+    # bucket_s buckets; plus a few normal keys
+    n_hot = 60_000
+    # bursts of ~30 events every ~2-5h so real session breaks occur, with
+    # jitter fine enough that many sessions cross bucket boundaries
+    burst_starts = np.cumsum(rng.integers(7200, 18000, size=n_hot // 30))
+    offs = np.arange(30) * 60  # 1-minute strides inside a burst
+    hot_ts = (burst_starts[:, None] + offs[None, :]).ravel()[:n_hot]
+    cold_ts = np.sort(rng.integers(0, hot_ts.max(), size=500))
+    ts = np.concatenate([hot_ts, cold_ts])
+    key = np.concatenate([np.full(n_hot, 7), rng.integers(100, 105, 500)])
+    df = pd.DataFrame({
+        "user_id": key,
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(ts, unit="s"),
+        "value": rng.random(len(ts)),
+    })
+    # hot key really does span many stage-1 buckets
+    n_buckets = df[df.user_id == 7].ts.astype("int64").floordiv(
+        int(bucket_s * 1e9)).nunique()
+    assert n_buckets > 50
+
+    # shuffle row order and feed as many small blocks
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    ds = rd.from_pandas([df.iloc[i:i + 2048]
+                         for i in range(0, len(df), 2048)])
+    out = (session_windows(ds, "user_id", "ts", "value", gap_s=gap_s)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+
+    # pandas reference: per-key sort, gap cumsum
+    ref_rows = []
+    for k, sub in df.sort_values("ts").groupby("user_id"):
+        t = sub["ts"].values
+        brk = np.concatenate(
+            [[True], np.diff(t).astype("timedelta64[s]").astype(int)
+             > gap_s])
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            m = sid == s
+            ref_rows.append({
+                "user_id": k, "session_id": int(s),
+                "session_start": t[m].min(), "session_end": t[m].max(),
+                "n_events": int(m.sum()),
+                "sum_value": float(sub["value"].values[m].sum())})
+    ref = pd.DataFrame(ref_rows).sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+
+    assert len(out) == len(ref)
+    assert (out["user_id"].values == ref["user_id"].values).all()
+    assert (out["session_id"].values == ref["session_id"].values).all()
+    assert (out["session_start"].values.astype("datetime64[us]")
+            == ref["session_start"].values.astype("datetime64[us]")).all()
+    assert (out["session_end"].values.astype("datetime64[us]")
+            == ref["session_end"].values.astype("datetime64[us]")).all()
+    assert (out["n_events"].values == ref["n_events"].values).all()
+    assert np.allclose(out["sum_value"], ref["sum_value"])
+    # some sessions must actually have crossed a bucket boundary (the
+    # stitch path is exercised, not vacuously green)
+    hot = ref[ref.user_id == 7]
+    crosses = (hot["session_start"].values.astype("datetime64[s]")
+               .astype(np.int64) // bucket_s
+               != hot["session_end"].values.astype("datetime64[s]")
+               .astype(np.int64) // bucket_s)
+    assert crosses.any()
