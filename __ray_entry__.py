@@ -867,37 +867,52 @@ def _q_hll_urls_per_host(sf_dir: str):
                          <= 4 * rel * np.maximum(ex, 1)})
 
 
-def _q_decode_images(sf_dir: str):
-    from raysketch.multimodal import decode_images, synth_media_dataset
-    out = decode_images(synth_media_dataset(64), fake=True, concurrency=2)
-    return out.map_batches(
-        lambda t: t.select(["media_id", "width", "height"]),
-        batch_format="pyarrow")
+def _q_multimodal_stubs(sf_dir: str):
+    """All four multimodal actor-pool stages (image decode, image
+    resize, audio feature extract, video frame sample) in one registered
+    query with a shared (modality, media_id, a, b) summary schema --
+    merged so every registered query fits inside the driver's 50-row
+    CORRECTNESS artifact.  Each stage's full schema/behavior remains
+    covered by tests/test_text_ann.py; the Ray-side plumbing (actor
+    pools, per-actor codec import, binary payload batching) is real, the
+    codec bodies are deterministic fakes in this container."""
+    from raysketch.multimodal import (decode_images, extract_audio_features,
+                                      resize_images, sample_frames,
+                                      synth_media_dataset)
 
+    def summarize(modality, out, a_col, b_col=None):
+        def pick(t: pa.Table) -> pa.Table:
+            n = len(t)
+            b = (np.asarray(t[b_col]).astype(np.int64) if b_col
+                 else np.zeros(n, dtype=np.int64))
+            return pa.table({
+                "modality": pa.array([modality] * n),
+                "media_id": t["media_id"],
+                "a": pa.array(np.asarray(t[a_col]).astype(np.int64)),
+                "b": pa.array(b),
+            })
+        return out.map_batches(pick, batch_format="pyarrow")
 
-def _q_resize_images(sf_dir: str):
-    from raysketch.multimodal import resize_images, synth_media_dataset
-    out = resize_images(synth_media_dataset(64), fake=True, concurrency=2,
-                        max_side=64)
-    return out
-
-
-def _q_audio_features(sf_dir: str):
-    from raysketch.multimodal import extract_audio_features, synth_media_dataset
-    out = extract_audio_features(synth_media_dataset(64, kind="audio"),
-                                 fake=True, concurrency=2)
-    return out.map_batches(
-        lambda t: t.select(["media_id", "duration_s"]),
-        batch_format="pyarrow")
-
-
-def _q_sample_frames(sf_dir: str):
-    from raysketch.multimodal import sample_frames, synth_media_dataset
-    out = sample_frames(synth_media_dataset(32, kind="video"), fake=True,
-                        concurrency=2)
-    return out.map_batches(
-        lambda t: t.select(["media_id", "frame_no"]),
-        batch_format="pyarrow")
+    parts = [
+        summarize("image_decode",
+                  decode_images(synth_media_dataset(64), fake=True,
+                                concurrency=2), "width", "height"),
+        summarize("image_resize",
+                  resize_images(synth_media_dataset(64), fake=True,
+                                concurrency=2, max_side=64),
+                  "width", "height"),
+        summarize("audio_features",
+                  extract_audio_features(synth_media_dataset(64, kind="audio"),
+                                         fake=True, concurrency=2),
+                  "duration_s"),
+        summarize("video_frames",
+                  sample_frames(synth_media_dataset(32, kind="video"),
+                                fake=True, concurrency=2), "frame_no"),
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -1007,10 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_30m": _q_session_windows,
         "events_orders_asof": _q_events_orders_asof,
         "ann_topk_ivf": _q_ann_ivf,
-        "decode_images_stub": _q_decode_images,
-        "resize_images_stub": _q_resize_images,
-        "audio_features_stub": _q_audio_features,
-        "video_frame_sample_stub": _q_sample_frames,
+        "multimodal_stubs": _q_multimodal_stubs,
         "hll_urls_per_host": _q_hll_urls_per_host,
     })
     return q
