@@ -97,8 +97,17 @@ def train_centroids(ds, vec_col: str, n_centroids: int = 16,
         min(1.0, train_sample / max(1, ds.count())), seed=seed).to_pandas()
     train = _unit(np.stack(sample[vec_col].values).astype(np.float64))
     rng = np.random.default_rng(seed)
-    cent = train[rng.choice(len(train), min(n_centroids, len(train)),
-                            replace=False)]
+    k = min(n_centroids, len(train))
+    # k-means++ seeding (squared cosine distance): spread the initial
+    # centroids instead of gambling on a uniform draw -- recall at low
+    # nprobe depends directly on bucket balance
+    cent = np.empty((k, train.shape[1]))
+    cent[0] = train[rng.integers(len(train))]
+    d2 = np.maximum(0.0, 1.0 - train @ cent[0]) ** 2
+    for c in range(1, k):
+        p = d2 / max(d2.sum(), 1e-12)
+        cent[c] = train[rng.choice(len(train), p=p)]
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - train @ cent[c]) ** 2)
     for _ in range(8):  # lloyd iterations, driver-side, tiny
         assign = np.argmax(train @ cent.T, axis=1)
         for c in range(len(cent)):

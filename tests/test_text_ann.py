@@ -112,7 +112,7 @@ def test_ivf_topk_recall(ray_session):
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.6  # nprobe=3/8 buckets
+    assert np.mean(recalls) >= 0.65  # nprobe=3/8 buckets, Lloyd-refined centroids
 
 
 def test_multimodal_stub_plumbing(ray_session):
@@ -233,7 +233,7 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
         e = set(exact[exact["query_id"] == q]["vec_id"])
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / max(1, len(e)))
-    assert np.mean(recalls) >= 0.6, recalls  # nprobe=4 of 8 buckets
+    assert np.mean(recalls) >= 0.65, recalls  # nprobe=4 of 8, Lloyd-refined (0.70-0.84 across seeds)
 
 
 def test_audio_and_video_stubs(ray_session):
