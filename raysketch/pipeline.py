@@ -160,7 +160,13 @@ def _coarse_group_count(num_partitions: int) -> int:
     group inside one reduce task keeps every build single-partition
     (byte-identical outputs) while cutting intermediates to
     map_blocks x C.  On a multi-node cluster C scales with total cpus,
-    exactly like the reduce side of a real exchange."""
+    exactly like the reduce side of a real exchange.
+
+    CAVEAT: cluster_resources() is sampled at graph-construction time,
+    so on an autoscaling cluster C is pinned to the pre-scale-up cpu
+    count for the whole run.  Pass coarse_groups=... explicitly to
+    build_filter_table(s) on clusters expected to scale during the
+    build."""
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 0))
@@ -170,11 +176,22 @@ def _coarse_group_count(num_partitions: int) -> int:
 
 
 def _packed_groups(group: pa.Table):
-    """Yield (pid, hashes) for every pid in a coarse packed group."""
+    """Yield (pid, hashes) for every pid in a coarse packed group.
+
+    One stable argsort + run-boundary split, linear in group rows.  (A
+    per-pid group.filter() scan is O(pids_in_group x group_rows), and
+    pids per coarse group grow with num_partitions/C.)"""
     pids = np.asarray(group["pid"], dtype=np.int64)
-    for p in np.unique(pids):
-        sub = group.filter(pa.array(pids == p))
-        yield int(p), _unpack_group_hashes(sub)
+    if pids.size == 0:
+        return
+    order = np.argsort(pids, kind="stable")
+    spids = pids[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], spids[1:] != spids[:-1]]))
+    bounds = np.append(starts, len(spids))
+    for i, s in enumerate(starts):
+        sub = group.take(pa.array(order[s:bounds[i + 1]]))
+        yield int(spids[s]), _unpack_group_hashes(sub)
 
 
 def _build_one(kind: str, params: dict, hashes: np.ndarray,
@@ -235,7 +252,8 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
                        params: dict | None = None,
                        num_partitions: int = 16,
                        checkpoint_dir: str | None = None,
-                       seed: int = 0, self_check: bool = False):
+                       seed: int = 0, self_check: bool = False,
+                       coarse_groups: int | None = None):
     """Filter-table Dataset: one row per partition.
 
     self_check=True re-probes each partition's own keys inside the build
@@ -288,7 +306,7 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
         done = {int(r) for r in
                 rd.read_parquet(parts_dir).to_pandas()["partition_id"]}
 
-    C = _coarse_group_count(num_partitions)
+    C = coarse_groups or _coarse_group_count(num_partitions)
     keys = hashed_keys(ds, key_col, num_partitions, seed).map_batches(
         lambda t, _C=C: _pack_by_pid(t, _C), batch_format="pyarrow")
     if done:
@@ -316,7 +334,8 @@ def build_filter_table(ds, key_col: str, kind: str = "sbbf",
 
 
 def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
-                        seed: int = 0, self_check: bool = False):
+                        seed: int = 0, self_check: bool = False,
+                        coarse_groups: int | None = None):
     """Several filter kinds for ONE hash+shuffle.
 
     The reference bench builds four configs over the same corpus
@@ -328,7 +347,7 @@ def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
     deterministic over the sorted unique hashes -- pytest-pinned).
     Filter rows by 'kind'/'params' to split per spec."""
     specs = [(kind, dict(params or {})) for kind, params in specs]
-    C = _coarse_group_count(num_partitions)
+    C = coarse_groups or _coarse_group_count(num_partitions)
     keys = hashed_keys(ds, key_col, num_partitions, seed).map_batches(
         lambda t, _C=C: _pack_by_pid(t, _C), batch_format="pyarrow")
 
