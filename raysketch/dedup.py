@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .hashing import U64, hash_strings, murmur64a_u64, popcount64
+from .pipeline import pack_rows_by_part, unpack_part_rows
 from .util import pool
 
 _MERSENNE61 = (1 << 61) - 1
@@ -66,22 +67,22 @@ def exact_dedup(ds, col: str, id_col: str, num_partitions: int = 16):
         # int64 views of the u64 hashes (uint64 columns would fall back to
         # pickled object blocks in the shuffle; the signed view is a
         # bijection), combined with a per-batch partial min so only one
-        # (h, h2, id) row per batch-local group crosses the exchange
+        # (h, h2, id) row per batch-local group crosses the exchange --
+        # packed into one blob row per partition (pack_rows_by_part), so
+        # the sort shuffle's per-row costs scale with blocks x parts,
+        # not with distinct-document count
         h = hash_strings(batch[col]).view(np.int64)
         h2 = hash_strings(batch[col],
                           seed=0x9E3779B97F4A7C15).view(np.int64)
         i = np.asarray(batch[id_col], dtype=np.int64)
         h, h2, i = _min_id_runs(h, h2, i)
-        return pa.table({
-            "h": pa.array(h), "h2": pa.array(h2), "id": pa.array(i),
-            "_part": pa.array((murmur64a_u64(h.view(U64), 29)
-                               % U64(parts)).astype(np.int32)),
-        })
+        part = (murmur64a_u64(h.view(U64), 29)
+                % U64(parts)).astype(np.int64)
+        return pack_rows_by_part(part, (h, h2, i))
 
     def min_final(g: pa.Table) -> pa.Table:
-        _, _, i = _min_id_runs(np.asarray(g["h"], dtype=np.int64),
-                               np.asarray(g["h2"], dtype=np.int64),
-                               np.asarray(g["id"], dtype=np.int64))
+        h, h2, i = unpack_part_rows(g, 3)
+        _, _, i = _min_id_runs(h, h2, i)
         return pa.table({"min_id": pa.array(i)})
 
     # hash-partitioned min-per-(h,h2): Ray's multi-column sort aggregate
@@ -232,14 +233,13 @@ def _distinct_pairs(cand):
         b = np.asarray(batch["doc_b"], dtype=np.int64)
         a, b = _uniq(a, b)
         h = murmur64a_u64(a.view(U64) ^ murmur64a_u64(b.view(U64), 17), 23)
-        return pa.table({
-            "_part": pa.array((h % U64(parts)).astype(np.int32)),
-            "doc_a": pa.array(a), "doc_b": pa.array(b),
-        })
+        # packed (a, b) blob per partition: candidate-pair volume is the
+        # largest row count in the LSH path (bands x docs upper bound)
+        return pack_rows_by_part((h % U64(parts)).astype(np.int64), (a, b))
 
     def uniq_group(g: pa.Table) -> pa.Table:
-        a, b = _uniq(np.asarray(g["doc_a"], dtype=np.int64),
-                     np.asarray(g["doc_b"], dtype=np.int64))
+        a, b = unpack_part_rows(g, 2)
+        a, b = _uniq(a, b)
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     return (cand.map_batches(partial, batch_format="pyarrow")
