@@ -267,18 +267,27 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
     # xors a privately-allocated 64 MB buffer 4x; the aggregate GB/s
     # classifies the window so efficiency pairs can be read post-hoc.
     @ray.remote(num_cpus=1)
-    def _bw_probe() -> float:
+    def _bw_probe() -> tuple:
         import numpy as np
         import time as _t
         buf = np.ones(8 << 20, dtype=np.uint64)  # 64 MB
         acc = np.uint64(0)
         acc ^= np.bitwise_xor.reduce(buf)        # warm (first touch)
-        t0 = _t.perf_counter()
+        t0 = _t.time()                           # wall clock: one host
         for _ in range(4):
             acc ^= np.bitwise_xor.reduce(buf)
-        return 4 * buf.nbytes / (_t.perf_counter() - t0) / 1e9
-    per_task = ray.get([_bw_probe.remote() for _ in range(num_cpus)])
-    parallel_bw = round(sum(per_task), 2)
+        return (t0, _t.time(), 4 * buf.nbytes)
+
+    def _parallel_bw() -> float:
+        # aggregate = total bytes / union window (max end - min start):
+        # summing per-task GB/s over non-overlapping windows let late-
+        # starting or straggling tasks run under less contention and
+        # inflate the sum
+        spans = ray.get([_bw_probe.remote() for _ in range(num_cpus)])
+        window = max(t1 for _, t1, _ in spans) - min(t0 for t0, _, _ in spans)
+        return round(sum(b for _, _, b in spans) / max(window, 1e-9) / 1e9, 2)
+
+    bw_before = _parallel_bw()
 
     # The timed job is build + in-task zero-FN verify, end to end
     # distributed: hash -> one (pid,h) shuffle -> per-partition holistic
@@ -311,6 +320,10 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
                                self_check=True).sum("n_rows")
     assert seen == len(specs) * n_keys, "lost rows in scaling job"
     wall = time.perf_counter() - t0
+    # bracket the timed job: a probe only BEFORE it stamps a mid-run
+    # bandwidth storm as quiet -- exactly the blind spot the stamp
+    # exists to close
+    bw_after = _parallel_bw()
     ray.shutdown()
     # counting convention: keys_per_sec = key-BUILDS per second over ALL
     # len(specs) configs (every config's build cost is inside `wall`, so
@@ -320,7 +333,10 @@ def _run_scaling_job(sf_dir: str, num_cpus: int,
             "n_configs": len(specs),
             "keys_per_sec": round(len(specs) * n_keys / wall, 1),
             "keys_per_sec_def": "key-builds/sec over all n_configs",
-            "parallel_bw_gbps": parallel_bw}
+            # window classification reads the WORSE bracket end
+            "parallel_bw_gbps": min(bw_before, bw_after),
+            "parallel_bw_gbps_before": bw_before,
+            "parallel_bw_gbps_after": bw_after}
 
 
 def _scaling() -> None:
