@@ -676,6 +676,50 @@ static inline uint64_t xxh3_mix16(const uint8_t *in, const uint8_t *sec,
                              ^ (xxh_read64(sec + 8) - seed));
 }
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+/* AVX2 stripe accumulate -- the spec's lane math verbatim, 4 lanes per
+ * 256-bit op: acc[i^1] += v is a 64-bit half-swap within each 128-bit
+ * pair; acc[i] += low32(k)*high32(k) is mul_epu32 on k and k>>32.
+ * Output is bit-identical to the scalar loop (pinned by the 11
+ * published sanity vectors + NumPy parity in tests/test_native.py). */
+static inline void xxh3_accumulate512(uint64_t *acc, const uint8_t *in,
+                                      const uint8_t *sec)
+{
+    __m256i *xacc = (__m256i *)acc;
+    for (int i = 0; i < 2; i++) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(in + 32 * i));
+        __m256i s = _mm256_loadu_si256((const __m256i *)(sec + 32 * i));
+        __m256i k = _mm256_xor_si256(v, s);
+        __m256i k_hi = _mm256_srli_epi64(k, 32);
+        __m256i prod = _mm256_mul_epu32(k, k_hi);
+        __m256i v_swap = _mm256_shuffle_epi32(v, _MM_SHUFFLE(1, 0, 3, 2));
+        __m256i a = _mm256_loadu_si256(xacc + i);
+        a = _mm256_add_epi64(a, v_swap);
+        a = _mm256_add_epi64(a, prod);
+        _mm256_storeu_si256(xacc + i, a);
+    }
+}
+
+/* AVX2 scramble: acc = (acc ^ (acc >> 47) ^ secret) * PRIME32_1 */
+static inline void xxh3_scramble256(uint64_t *acc, const uint8_t *sec)
+{
+    __m256i *xacc = (__m256i *)acc;
+    const __m256i prime = _mm256_set1_epi32((int)0x9E3779B1u);
+    for (int i = 0; i < 2; i++) {
+        __m256i a = _mm256_loadu_si256(xacc + i);
+        __m256i s = _mm256_loadu_si256((const __m256i *)(sec + 32 * i));
+        a = _mm256_xor_si256(a, _mm256_srli_epi64(a, 47));
+        a = _mm256_xor_si256(a, s);
+        /* 64x32 multiply: lo32(a)*prime + ((hi32(a)*prime) << 32) */
+        __m256i lo = _mm256_mul_epu32(a, prime);
+        __m256i hi = _mm256_mul_epu32(_mm256_srli_epi64(a, 32), prime);
+        a = _mm256_add_epi64(lo, _mm256_slli_epi64(hi, 32));
+        _mm256_storeu_si256(xacc + i, a);
+    }
+}
+#define XXH3_HAVE_SCRAMBLE_SIMD 1
+#else
 static inline void xxh3_accumulate512(uint64_t *acc, const uint8_t *in,
                                       const uint8_t *sec)
 {
@@ -686,6 +730,7 @@ static inline void xxh3_accumulate512(uint64_t *acc, const uint8_t *in,
         acc[i] += (k & 0xFFFFFFFFull) * (k >> 32);
     }
 }
+#endif
 
 static uint64_t xxh3_long(const uint8_t *in, int64_t len,
                           const uint8_t *secret)
@@ -704,9 +749,13 @@ static uint64_t xxh3_long(const uint8_t *in, int64_t len,
         for (int s = 0; s < 16; s++)
             xxh3_accumulate512(acc, in + b * block_len + s * 64,
                                secret + 8 * s);
+#ifdef XXH3_HAVE_SCRAMBLE_SIMD
+        xxh3_scramble256(acc, secret + 128);
+#else
         for (int i = 0; i < 8; i++)
             acc[i] = (acc[i] ^ (acc[i] >> 47)
                       ^ xxh_read64(secret + 128 + 8 * i)) * XXH_P32_1;
+#endif
     }
     int64_t nb_stripes = ((len - 1) - block_len * nb_blocks) / 64;
     for (int64_t s = 0; s < nb_stripes; s++)

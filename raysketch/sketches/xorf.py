@@ -11,9 +11,12 @@ Two construction paths, same accepted seeds (success is a property of the
 3/4-uniform hypergraph having an empty 2-core, independent of peel order):
 
 - native (_native.c:xorf_build, default when a C compiler exists): the
-  whole seed-retry loop in C with the classic queue peel, packed
-  {xormask, count} 16-byte cells (one cache line per random update) and
-  probe positions recomputed from h instead of materialized.
+  whole seed-retry loop in C -- seeded hashes counting-sorted by probe-
+  window segment so cell counting walks ascending segments, then a
+  branchless chunked two-phase peel (derive+prefetch a 512-entry FIFO
+  frontier chunk, then apply) and the same chunked back-substitution;
+  split xormask u64 / count u8 cell arrays; probe positions recomputed
+  from h instead of materialized.
 - NumPy fallback: peeling in vectorized *rounds* (all currently-singleton
   cells peel together, NumPy kernels over the whole frontier);
   back-substitution in reverse round order is valid because a key's
@@ -163,13 +166,13 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
 
     if lib is not None:
         # entire retry loop in C (_native.c:xorf_build): apply_seed,
-        # subhash derivation (same _HL_MIX deviation), single-pass
-        # counting, LIFO stack peel that RECOMPUTES probe positions from
-        # h instead of materializing an (n, arity) matrix, reverse solve
-        # -- the reference's storage discipline (src/xorf.zig:111-220).
-        # Same SplitMix64 seed schedule; peel success is a 2-core
-        # property of (seed, keys) alone, so native and NumPy accept the
-        # SAME seed (pinned by tests/test_native.py).
+        # subhash derivation (same _HL_MIX deviation), segment-sorted
+        # counting, branchless chunked two-phase peel + reverse solve
+        # that RECOMPUTE probe positions from h instead of materializing
+        # an (n, arity) matrix -- the reference's storage discipline
+        # (src/xorf.zig:111-220).  Same SplitMix64 seed schedule; peel
+        # success is a 2-core property of (seed, keys) alone, so native
+        # and NumPy accept the SAME seed (pinned by tests/test_native.py).
         cells = _scratch("cells", 2 * array_len, U64)  # {xormask, count}
         queue = _scratch("queue", array_len, np.uint32)
         stack_h = _scratch("stack_h", max(n, 1), U64)
