@@ -252,7 +252,8 @@ def _packed_groups(group: pa.Table):
 def _build_one(kind: str, params: dict, hashes: np.ndarray,
                pid: int, num_partitions: int,
                self_check: bool = False,
-               assume_unique: bool = False) -> dict:
+               assume_unique: bool = False,
+               n_rows: int | None = None) -> dict:
     t0 = time.perf_counter()
     if assume_unique:   # multi-spec builds dedup once per pid upstream
         uniq = np.asarray(hashes, dtype=U64)
@@ -293,7 +294,10 @@ def _build_one(kind: str, params: dict, hashes: np.ndarray,
         "params": json.dumps(params, sort_keys=True),
         "num_partitions": int(num_partitions),
         "payload": f.to_bytes(), "n_keys": int(f.num_keys),
-        "n_rows": int(len(hashes)), "build_s": build_s,
+        # raw pre-dedup rows: with assume_unique the caller deduped,
+        # so it must supply the raw count itself
+        "n_rows": int(n_rows if n_rows is not None else len(hashes)),
+        "build_s": build_s,
         "mem_bytes": int(f.mem_usage()), "ideal_bytes": int(f.ideal_mem_usage()),
     }
 
@@ -412,7 +416,8 @@ def build_filter_tables(ds, key_col: str, specs, num_partitions: int = 16,
         # byte-identical to per-spec dedup since np.unique is idempotent
         return _rows_to_table([
             _build_one(kind, params, uniq, pid, num_partitions,
-                       self_check=self_check, assume_unique=True)
+                       self_check=self_check, assume_unique=True,
+                       n_rows=len(h))
             for pid, h in _packed_groups(group)
             for uniq in (np.unique(np.asarray(h, dtype=U64)),)
             for kind, params in specs])
