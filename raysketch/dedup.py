@@ -269,16 +269,14 @@ def _min_labels_by_node(ds, parts: int | None = None):
         n, l, p = _minmin(np.asarray(batch["node"], dtype=np.int64),
                           np.asarray(batch["label"], dtype=np.int64),
                           np.asarray(batch["prev"], dtype=np.int64))
-        return pa.table({
-            "node": pa.array(n), "label": pa.array(l), "prev": pa.array(p),
-            "_part": pa.array((murmur64a_u64(n.view(U64), 29)
-                               % U64(P)).astype(np.int32)),
-        })
+        # packed blob rows (pack_rows_by_part): this exchange runs once
+        # per propagation iteration over every live node
+        part = (murmur64a_u64(n.view(U64), 29) % U64(P)).astype(np.int64)
+        return pack_rows_by_part(part, (n, l, p))
 
     def final(g: pa.Table) -> pa.Table:
-        n, l, p = _minmin(np.asarray(g["node"], dtype=np.int64),
-                          np.asarray(g["label"], dtype=np.int64),
-                          np.asarray(g["prev"], dtype=np.int64))
+        n, l, p = unpack_part_rows(g, 3)
+        n, l, p = _minmin(n, l, p)
         return pa.table({"node": pa.array(n), "m": pa.array(l),
                          "p": pa.array(p)})
 
@@ -296,12 +294,11 @@ def _distinct_ints(ds, col: str, parts: int | None = None):
     def partial(batch: pa.Table) -> pa.Table:
         v = np.unique(np.asarray(batch[col], dtype=np.int64))
         h = murmur64a_u64(v.view(U64), 29)
-        return pa.table({col: pa.array(v),
-                         "_part": pa.array((h % U64(P)).astype(np.int32))})
+        return pack_rows_by_part((h % U64(P)).astype(np.int64), (v,))
 
     def uniq(g: pa.Table) -> pa.Table:
-        return pa.table({col: pa.array(
-            np.unique(np.asarray(g[col], dtype=np.int64)))})
+        (v,) = unpack_part_rows(g, 1)
+        return pa.table({col: pa.array(np.unique(v))})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("_part").map_groups(uniq, batch_format="pyarrow"))

@@ -205,6 +205,62 @@ def unpack_part_rows(group: pa.Table, k: int) -> tuple:
     return tuple(np.ascontiguousarray(mat[:, j]) for j in range(k))
 
 
+def pack_strings_by_part(part: np.ndarray, arr) -> pa.Table:
+    """String companion to pack_rows_by_part: pack a batch's string
+    column into ONE blob per partition id.  Blob layout:
+    [n:int64][byte_lens:int32[n]][utf8 bytes].  Works for pa.string and
+    pa.large_string inputs (no nulls -- same contract as the unpacked
+    exchanges these replace)."""
+    if part.size == 0:
+        return pa.table({"_part": pa.array([], pa.int32()),
+                         "blob": pa.array([], pa.large_binary())})
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    order = np.argsort(part, kind="stable")
+    ps = part[order]
+    sarr = arr.take(pa.array(order))
+    odt = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
+    offs = np.frombuffer(sarr.buffers()[1], dtype=odt)
+    offs = offs[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
+    data = np.frombuffer(sarr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs).astype(np.int32)
+    starts = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
+    bounds = np.append(starts, ps.size)
+    blobs = []
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        blobs.append(np.int64(e - s).tobytes()
+                     + lens[s:e].tobytes()
+                     + data[offs[s]:offs[e]].tobytes())
+    return pa.table({"_part": pa.array(ps[starts].astype(np.int32)),
+                     "blob": pa.array(blobs, pa.large_binary())})
+
+
+def unpack_part_strings(group: pa.Table):
+    """Inverse of pack_strings_by_part for one _part group: one
+    pa.large_string array concatenated across the group's blobs."""
+    col = group["blob"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    all_lens, all_data = [], []
+    for ch in chunks:
+        for blob in ch:
+            b = blob.as_py()
+            n = int(np.frombuffer(b, dtype=np.int64, count=1)[0])
+            lens = np.frombuffer(b, dtype=np.int32, count=n, offset=8)
+            all_lens.append(lens)
+            all_data.append(np.frombuffer(b, dtype=np.uint8,
+                                          offset=8 + 4 * n))
+    if not all_lens:
+        return pa.array([], pa.large_string())
+    lens = np.concatenate(all_lens)
+    data = np.concatenate(all_data)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return pa.Array.from_buffers(
+        pa.large_string(), len(lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
+
+
 def _coarse_group_count(num_partitions: int) -> int:
     """Reduce-task count for the build exchange: ~2 groups per cluster
     cpu, capped at num_partitions.  Ray's sort shuffle creates
@@ -1141,13 +1197,23 @@ def distinct_keys(ds, key_col: str, num_partitions: int = 64):
         u = np.unique(np.asarray(batch[key_col]))
         arr = pa.array(u, batch[key_col].type)
         h = hash_column(arr)
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(
+                arr.type):
+            # strings ride the exchange packed: one blob row per
+            # partition id instead of one row per distinct key
+            # (pack_rows_by_part economics; output type becomes
+            # pa.string on the way out)
+            return pack_strings_by_part(part, arr)
         return pa.table({
             key_col: arr,
-            "_part": pa.array((h % np.uint64(num_partitions))
-                              .astype(np.int32)),
+            "_part": pa.array(part.astype(np.int32)),
         })
 
     def uniq(g: pa.Table) -> pa.Table:
+        if "blob" in g.column_names:
+            u = np.unique(np.asarray(unpack_part_strings(g)))
+            return pa.table({key_col: pa.array(u, pa.string())})
         return pa.table({key_col: pa.array(
             np.unique(np.asarray(g[key_col])), g[key_col].type)})
 
