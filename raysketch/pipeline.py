@@ -261,6 +261,99 @@ def unpack_part_strings(group: pa.Table):
         [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
 
 
+def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
+    """(key, value...) companion to pack_rows_by_part with a string OR
+    int64 key and dtype-tagged numpy value columns.  Blob layout:
+    [n:int64][kkind:u8][key section][per value: dlen:u8 + dtype.str +
+    raw bytes].  kkind 0 = utf8 key (lens i32[n] + bytes), 1 = int64."""
+    if part.size == 0:
+        return pa.table({"_part": pa.array([], pa.int32()),
+                         "blob": pa.array([], pa.large_binary())})
+    order = np.argsort(part, kind="stable")
+    ps = part[order]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    is_str = isinstance(keys, pa.Array) and (
+        pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type))
+    if is_str:
+        sarr = keys.take(pa.array(order))
+        odt = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
+        offs = np.frombuffer(sarr.buffers()[1], dtype=odt)
+        offs = offs[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
+        kdata = np.frombuffer(sarr.buffers()[2], dtype=np.uint8)
+        klens = np.diff(offs).astype(np.int32)
+    else:
+        karr = (np.asarray(keys) if not isinstance(keys, np.ndarray)
+                else keys).astype(np.int64)[order]
+    svals = [np.ascontiguousarray(np.asarray(v)[order]) for v in vals]
+    starts = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
+    bounds = np.append(starts, ps.size)
+    blobs = []
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        parts_ = [np.int64(e - s).tobytes()]
+        if is_str:
+            parts_.append(b"\x00")
+            parts_.append(klens[s:e].tobytes())
+            parts_.append(kdata[offs[s]:offs[e]].tobytes())
+        else:
+            parts_.append(b"\x01")
+            parts_.append(karr[s:e].tobytes())
+        for v in svals:
+            dt = v.dtype.str.encode()
+            parts_.append(bytes([len(dt)]))
+            parts_.append(dt)
+            parts_.append(v[s:e].tobytes())
+        blobs.append(b"".join(parts_))
+    return pa.table({"_part": pa.array(ps[starts].astype(np.int32)),
+                     "blob": pa.array(blobs, pa.large_binary())})
+
+
+def unpack_kv_part(group: pa.Table, nvals: int):
+    """Inverse of pack_kv_by_part for one _part group: (key array --
+    pa.large_string for utf8 keys or np.int64 --, [value np arrays])."""
+    col = group["blob"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    klens_all, kdata_all, kints_all = [], [], []
+    vals_all: list[list] = [[] for _ in range(nvals)]
+    is_str = None
+    for ch in chunks:
+        for blob in ch:
+            b = blob.as_py()
+            pos = 0
+            n = int(np.frombuffer(b, np.int64, 1, pos)[0]); pos += 8
+            kkind = b[pos]; pos += 1
+            if is_str is None:
+                is_str = (kkind == 0)
+            if kkind == 0:
+                lens = np.frombuffer(b, np.int32, n, pos); pos += 4 * n
+                nb = int(lens.sum())
+                kdata_all.append(np.frombuffer(b, np.uint8, nb, pos))
+                klens_all.append(lens); pos += nb
+            else:
+                kints_all.append(np.frombuffer(b, np.int64, n, pos))
+                pos += 8 * n
+            for j in range(nvals):
+                dlen = b[pos]; pos += 1
+                dt = np.dtype(b[pos:pos + dlen].decode()); pos += dlen
+                vals_all[j].append(np.frombuffer(b, dt, n, pos))
+                pos += dt.itemsize * n
+    vals = [np.concatenate(v) if v else np.zeros(0) for v in vals_all]
+    if is_str is None:
+        return np.zeros(0, dtype=np.int64), vals
+    if not is_str:
+        return (np.concatenate(kints_all) if kints_all
+                else np.zeros(0, np.int64)), vals
+    lens = np.concatenate(klens_all)
+    data = np.concatenate(kdata_all)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    key = pa.Array.from_buffers(
+        pa.large_string(), len(lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
+    return key, vals
+
+
 def _coarse_group_count(num_partitions: int) -> int:
     """Reduce-task count for the build exchange: ~2 groups per cluster
     cpu, capped at num_partitions.  Ray's sort shuffle creates
@@ -1121,14 +1214,35 @@ def grouped_reduce(ds, key_col: str, specs, num_partitions: int = 64):
         uk, red = _runs(batch, [vc for vc, _, _ in specs])
         karr = pa.array(uk, batch[key_col].type)
         h = hash_column(karr)
-        cols = {key_col: karr,
-                "_part": pa.array((h % np.uint64(num_partitions))
-                                  .astype(np.int32))}
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        kt = karr.type
+        # utf8 and int64 keys ride the exchange packed (one blob row per
+        # partition id, pack_kv_by_part); other key dtypes keep the
+        # per-row column flow (dtype is constant across batches, so the
+        # output schema stays consistent either way)
+        if (pa.types.is_string(kt) or pa.types.is_large_string(kt)
+                or uk.dtype == np.int64):
+            keys = karr if uk.dtype == object else uk
+            return pack_kv_by_part(part, keys, [np.asarray(r) for r in red])
+        cols = {key_col: karr, "_part": pa.array(part.astype(np.int32))}
         for (vc, _, alias), r in zip(specs, red):
             cols[alias] = pa.array(r, batch[vc].type)
         return pa.table(cols)
 
     def final(g: pa.Table) -> pa.Table:
+        if "blob" in g.column_names:
+            key, vals = unpack_kv_part(g, len(specs))
+            keys = np.asarray(key)
+            uk, inv = np.unique(keys, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            inv_s = inv[order]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], inv_s[1:] != inv_s[:-1]]))
+            ktype = pa.string() if uk.dtype == object else None
+            cols = {key_col: pa.array(uk, ktype)}
+            for (_, op, alias), v in zip(specs, vals):
+                cols[alias] = pa.array(ops[op].reduceat(v[order], starts))
+            return pa.table(cols)
         uk, red = _runs(g, [alias for _, _, alias in specs])
         cols = {key_col: pa.array(uk, g[key_col].type)}
         for (_, _, alias), r in zip(specs, red):
