@@ -115,29 +115,31 @@ def session_windows(ds, key_col: str, ts_col: str, value_col: str,
     bucket_us = (bucket_s if bucket_s is not None else 10 * gap_s) * 1_000_000
 
     def part(t: pa.Table) -> pa.Table:
+        from .pipeline import pack_kv_by_part
         k = np.asarray(t[key_col], dtype=np.int64)
-        ts = np.asarray(t[ts_col]).astype("datetime64[us]").astype(np.int64)
+        ts_orig = np.asarray(t[ts_col]).astype("datetime64[us]")
+        ts = ts_orig.astype(np.int64)
         bucket = ts // bucket_us
         h = murmur64a_u64(k.view(np.uint64), 31) \
             ^ murmur64a_u64(bucket.view(np.uint64), 77)
-        return pa.table({
-            key_col: t[key_col], ts_col: t[ts_col],
-            value_col: t[value_col],
-            "_bkt": pa.array(bucket),
-            "_part": pa.array((h % np.uint64(num_partitions))
-                              .astype(np.int32)),
-        })
+        # the stage-1 exchange carries EVERY raw event row -- pack it
+        # (one blob row per block x partition, pack_kv_by_part)
+        part_ids = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pack_kv_by_part(
+            part_ids, k,
+            [ts_orig, np.asarray(t[value_col]), bucket])
 
     def fragment(g: pa.Table) -> pa.Table:
         """Stage 1: maximal sessions within each (key, bucket) run."""
-        key = np.asarray(g[key_col], dtype=np.int64)
-        ts_orig = np.asarray(g[ts_col]).astype("datetime64[us]")
+        from .pipeline import unpack_kv_part
+        key, (ts_any, val, bkt) = unpack_kv_part(g, 3)
+        key = np.asarray(key, dtype=np.int64)
+        ts_orig = ts_any.astype("datetime64[us]")
         ts = ts_orig.astype(np.int64)
-        val = np.asarray(g[value_col])
-        bkt = np.asarray(g["_bkt"], dtype=np.int64)
+        bkt = bkt.astype(np.int64)
         if key.size == 0:
             return pa.table({
-                key_col: pa.array([], g[key_col].type),
+                key_col: pa.array([], pa.int64()),
                 "session_start": pa.array(ts_orig[:0]),
                 "session_end": pa.array(ts_orig[:0]),
                 "n_events": pa.array([], pa.int64()),
@@ -153,7 +155,7 @@ def session_windows(ds, key_col: str, ts_col: str, value_col: str,
         bounds = np.append(s_starts, n)
         ts_sorted = ts_orig[order]
         return pa.table({
-            key_col: pa.array(key[s_starts], g[key_col].type),
+            key_col: pa.array(key[s_starts], pa.int64()),
             "session_start": pa.array(ts_sorted[s_starts]),
             "session_end": pa.array(ts_sorted[bounds[1:] - 1]),
             "n_events": pa.array(np.diff(bounds).astype(np.int64)),
