@@ -288,22 +288,33 @@ def asof_join(left_ds, left_key: str, left_ts: str, left_id: str,
                                  r["id"].values[idx[matched]], matched)})
 
     def part(t: pa.Table) -> pa.Table:
+        from .pipeline import pack_kv_by_part
         k = np.asarray(t["key"])
-        if np.issubdtype(k.dtype, np.integer):
+        int_key = np.issubdtype(k.dtype, np.integer)
+        if int_key:
             h = murmur64a_u64(k.astype(np.int64).view(np.uint64), 31)
         else:
             from .hashing import hash_strings
             h = hash_strings(t["key"])
-        return t.append_column(
-            "_part", pa.array((h % np.uint64(num_partitions))
-                              .astype(np.int32)))
+        part_ids = (h % np.uint64(num_partitions)).astype(np.int64)
+        # both sides' full row sets cross this exchange -- pack them
+        keys = k.astype(np.int64) if int_key else t["key"]
+        return pack_kv_by_part(
+            part_ids, keys,
+            [np.asarray(t["ts"]).astype("datetime64[us]"),
+             np.asarray(t["id"]),
+             np.asarray(t["side"], dtype=np.int8)])
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(g: pa.Table) -> pd.DataFrame:
+        from .pipeline import unpack_kv_part
+        key, (ts, ids, side) = unpack_kv_part(g, 3)
+        df = pd.DataFrame({"key": np.asarray(key), "ts": ts, "id": ids,
+                           "side": side})
         outs = [merge(sub) for _, sub in
-                g.groupby("key", sort=False)]
+                df.groupby("key", sort=False)]
         return pd.concat(outs, ignore_index=True)
 
     return (left.union(right)
             .map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(merge_part,
-                                         batch_format="pandas"))
+                                         batch_format="pyarrow"))
