@@ -184,12 +184,11 @@ def _shuffle_parts(requested: int | None = None) -> int:
 
 def _pairs_partition_fn(cap: int = HOT_BUCKET_CAP):
     """map_groups fn over ONE shuffle partition holding many buckets:
-    rows (bkey:int64, doc_id:int64) -> candidate pairs of every bucket.
-    Bucket runs are found with one lexsort; only multi-member runs cost
-    anything beyond the sort."""
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["bkey"].values
-        ids = g["doc_id"].values
+    packed (bkey:int64, doc_id:int64) blobs -> candidate pairs of every
+    bucket.  Bucket runs are found with one lexsort; only multi-member
+    runs cost anything beyond the sort."""
+    def fn(g: pa.Table) -> pa.Table:
+        k, ids = unpack_part_rows(g, 2)
         order = np.lexsort((ids, k))
         k_s, id_s = k[order], ids[order]
         bounds = np.flatnonzero(np.concatenate(
@@ -202,10 +201,10 @@ def _pairs_partition_fn(cap: int = HOT_BUCKET_CAP):
             out_a.append(a)
             out_b.append(b)
         if not out_a:
-            return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
-                                 "doc_b": np.zeros(0, np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b))})
     return fn
 
 
@@ -541,16 +540,13 @@ def _lsh_candidates(sigs, num_perm: int, bands: int,
             # bands' buckets at once
             bh[:, b] = murmur64a_u64(acc, 1000 + b)
         bkey = bh.reshape(-1)
-        return pa.table({
-            "part": pa.array((bkey % U64(parts)).astype(np.int32)),
-            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
-            "doc_id": pa.array(ids),
-        })
+        return pack_rows_by_part((bkey % U64(parts)).astype(np.int64),
+                                 (bkey.view(np.int64), ids))
 
     cand = (sigs.map_batches(banded, batch_format="pyarrow")
-                .groupby("part")
+                .groupby("_part")
                 .map_groups(_pairs_partition_fn(hot_cap),
-                            batch_format="pandas"))
+                            batch_format="pyarrow"))
     return _distinct_pairs(cand)
 
 
@@ -847,16 +843,14 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
             rows_key.append(murmur64a_u64(key, 2000 + b))  # band folded in
             rows_id.append(ids)
         bkey = np.concatenate(rows_key)
-        return pa.table({
-            "part": pa.array((bkey % U64(parts)).astype(np.int32)),
-            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
-            "doc_id": pa.array(np.concatenate(rows_id)),
-        })
+        return pack_rows_by_part(
+            (bkey % U64(parts)).astype(np.int64),
+            (bkey.view(np.int64), np.concatenate(rows_id)))
 
     cand = (sigs.map_batches(banded, batch_format="pyarrow")
-                .groupby("part")
+                .groupby("_part")
                 .map_groups(_pairs_partition_fn(hot_cap),
-                            batch_format="pandas"))
+                            batch_format="pyarrow"))
     cand = _distinct_pairs(cand).materialize()
     if cand.count() == 0:
         return _pairs_result(None, {"hamming": "int64"}, collect)
@@ -919,11 +913,9 @@ class _HyperplaneLSH:
             keys.append(murmur64a_u64(key, 3000 + t))  # table folded in
             out_ids.append(ids)
         bkey = np.concatenate(keys)
-        return pa.table({
-            "part": pa.array((bkey % U64(self.parts)).astype(np.int32)),
-            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
-            "doc_id": pa.array(np.concatenate(out_ids)),
-        })
+        return pack_rows_by_part(
+            (bkey % U64(self.parts)).astype(np.int64),
+            (bkey.view(np.int64), np.concatenate(out_ids)))
 
 
 def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
@@ -955,9 +947,9 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
                                    num_tables=num_tables,
                                    parts=_shuffle_parts(shuffle_parts)),
         concurrency=pool(concurrency))
-    cand = (bucketed.groupby("part")
+    cand = (bucketed.groupby("_part")
                     .map_groups(_pairs_partition_fn(cap),
-                                batch_format="pandas"))
+                                batch_format="pyarrow"))
     # distributed distinct (a pair can surface from every table) BEFORE
     # the verify join: each pair is cosine-verified exactly once
     cand = _distinct_pairs(cand).materialize()
