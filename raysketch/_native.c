@@ -917,7 +917,10 @@ static inline void xorf_subhashes(uint64_t h, int arity,
  * probability of any cell reaching 256 is astronomically small
  * (multinomial tail ~1e-400 at the 1M-key partition target; the
  * binary-fuse reference implementation makes the same call with a
- * 6-bit count).  queue u32[array_len], stack_h u64[n], stack_hi u8[n],
+ * 6-bit count).  queue u32[array_len + 1] -- the branchless FIFO push
+ * below stores queue[qtail] unconditionally before advancing, and if
+ * every cell ever becomes a singleton the final dead store lands one
+ * slot past array_len -- stack_h u64[n], stack_hi u8[n],
  * fp_out u32[array_len]. */
 
 /* Segment index of a key's probe window base: first half of

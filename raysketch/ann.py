@@ -105,8 +105,13 @@ def train_centroids(ds, vec_col: str, n_centroids: int = 16,
     cent[0] = train[rng.integers(len(train))]
     d2 = np.maximum(0.0, 1.0 - train @ cent[0]) ** 2
     for c in range(1, k):
-        p = d2 / max(d2.sum(), 1e-12)
-        cent[c] = train[rng.choice(len(train), p=p)]
+        tot = d2.sum()
+        if tot <= 1e-12:
+            # degenerate sample (all residual directions ~identical):
+            # fall back to uniform draws for the remaining seeds
+            cent[c:] = train[rng.choice(len(train), k - c)]
+            break
+        cent[c] = train[rng.choice(len(train), p=d2 / tot)]
         d2 = np.minimum(d2, np.maximum(0.0, 1.0 - train @ cent[c]) ** 2)
     for _ in range(8):  # lloyd iterations, driver-side, tiny
         assign = np.argmax(train @ cent.T, axis=1)

@@ -206,66 +206,26 @@ def unpack_part_rows(group: pa.Table, k: int) -> tuple:
 
 
 def pack_strings_by_part(part: np.ndarray, arr) -> pa.Table:
-    """String companion to pack_rows_by_part: pack a batch's string
-    column into ONE blob per partition id.  Blob layout:
-    [n:int64][byte_lens:int32[n]][utf8 bytes].  Works for pa.string and
-    pa.large_string inputs (no nulls -- same contract as the unpacked
-    exchanges these replace)."""
-    if part.size == 0:
-        return pa.table({"_part": pa.array([], pa.int32()),
-                         "blob": pa.array([], pa.large_binary())})
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    order = np.argsort(part, kind="stable")
-    ps = part[order]
-    sarr = arr.take(pa.array(order))
-    odt = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
-    offs = np.frombuffer(sarr.buffers()[1], dtype=odt)
-    offs = offs[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
-    data = np.frombuffer(sarr.buffers()[2], dtype=np.uint8)
-    lens = np.diff(offs).astype(np.int32)
-    starts = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
-    bounds = np.append(starts, ps.size)
-    blobs = []
-    for i, s in enumerate(starts):
-        e = bounds[i + 1]
-        blobs.append(np.int64(e - s).tobytes()
-                     + lens[s:e].tobytes()
-                     + data[offs[s]:offs[e]].tobytes())
-    return pa.table({"_part": pa.array(ps[starts].astype(np.int32)),
-                     "blob": pa.array(blobs, pa.large_binary())})
+    """String companion to pack_rows_by_part: pack_kv_by_part with zero
+    value columns (one codec, see its layout)."""
+    return pack_kv_by_part(part, arr, [])
 
 
 def unpack_part_strings(group: pa.Table):
-    """Inverse of pack_strings_by_part for one _part group: one
-    pa.large_string array concatenated across the group's blobs."""
-    col = group["blob"]
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    all_lens, all_data = [], []
-    for ch in chunks:
-        for blob in ch:
-            b = blob.as_py()
-            n = int(np.frombuffer(b, dtype=np.int64, count=1)[0])
-            lens = np.frombuffer(b, dtype=np.int32, count=n, offset=8)
-            all_lens.append(lens)
-            all_data.append(np.frombuffer(b, dtype=np.uint8,
-                                          offset=8 + 4 * n))
-    if not all_lens:
-        return pa.array([], pa.large_string())
-    lens = np.concatenate(all_lens)
-    data = np.concatenate(all_data)
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    return pa.Array.from_buffers(
-        pa.large_string(), len(lens),
-        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
+    """Inverse of pack_strings_by_part for one _part group: one string
+    array (type-faithful to the packed source) concatenated across the
+    group's blobs."""
+    key, _ = unpack_kv_part(group, 0)
+    return key
 
 
 def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
     """(key, value...) companion to pack_rows_by_part with a string OR
     int64 key and dtype-tagged numpy value columns.  Blob layout:
     [n:int64][kkind:u8][key section][per value: dlen:u8 + dtype.str +
-    raw bytes].  kkind 0 = utf8 key (lens i32[n] + bytes), 1 = int64."""
+    raw bytes].  kkind 0 = pa.string key / 2 = pa.large_string key
+    (both encoded as lens i32[n] + utf8 bytes; the flag restores the
+    source type on unpack), 1 = int64."""
     if part.size == 0:
         return pa.table({"_part": pa.array([], pa.int32()),
                          "blob": pa.array([], pa.large_binary())})
@@ -277,7 +237,9 @@ def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
         pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type))
     if is_str:
         sarr = keys.take(pa.array(order))
-        odt = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
+        large = pa.types.is_large_string(sarr.type)
+        kkind = b"\x02" if large else b"\x00"
+        odt = np.int64 if large else np.int32
         offs = np.frombuffer(sarr.buffers()[1], dtype=odt)
         offs = offs[sarr.offset:sarr.offset + len(sarr) + 1].astype(np.int64)
         kdata = np.frombuffer(sarr.buffers()[2], dtype=np.uint8)
@@ -293,7 +255,7 @@ def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
         e = bounds[i + 1]
         parts_ = [np.int64(e - s).tobytes()]
         if is_str:
-            parts_.append(b"\x00")
+            parts_.append(kkind)
             parts_.append(klens[s:e].tobytes())
             parts_.append(kdata[offs[s]:offs[e]].tobytes())
         else:
@@ -311,21 +273,22 @@ def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
 
 def unpack_kv_part(group: pa.Table, nvals: int):
     """Inverse of pack_kv_by_part for one _part group: (key array --
-    pa.large_string for utf8 keys or np.int64 --, [value np arrays])."""
+    pa.string/pa.large_string faithful to the packed source, or
+    np.int64 --, [value np arrays])."""
     col = group["blob"]
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     klens_all, kdata_all, kints_all = [], [], []
     vals_all: list[list] = [[] for _ in range(nvals)]
-    is_str = None
+    kind_seen = None
     for ch in chunks:
         for blob in ch:
             b = blob.as_py()
             pos = 0
             n = int(np.frombuffer(b, np.int64, 1, pos)[0]); pos += 8
             kkind = b[pos]; pos += 1
-            if is_str is None:
-                is_str = (kkind == 0)
-            if kkind == 0:
+            if kind_seen is None:
+                kind_seen = kkind
+            if kkind != 1:
                 lens = np.frombuffer(b, np.int32, n, pos); pos += 4 * n
                 nb = int(lens.sum())
                 kdata_all.append(np.frombuffer(b, np.uint8, nb, pos))
@@ -339,9 +302,9 @@ def unpack_kv_part(group: pa.Table, nvals: int):
                 vals_all[j].append(np.frombuffer(b, dt, n, pos))
                 pos += dt.itemsize * n
     vals = [np.concatenate(v) if v else np.zeros(0) for v in vals_all]
-    if is_str is None:
+    if kind_seen is None:
         return np.zeros(0, dtype=np.int64), vals
-    if not is_str:
+    if kind_seen == 1:
         return (np.concatenate(kints_all) if kints_all
                 else np.zeros(0, np.int64)), vals
     lens = np.concatenate(klens_all)
@@ -351,6 +314,10 @@ def unpack_kv_part(group: pa.Table, nvals: int):
     key = pa.Array.from_buffers(
         pa.large_string(), len(lens),
         [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())])
+    if kind_seen == 0:
+        # source was pa.string: restore it (a single partition's strings
+        # fit int32 offsets iff the source column's did)
+        key = key.cast(pa.string())
     return key, vals
 
 
@@ -1198,17 +1165,20 @@ def grouped_reduce(ds, key_col: str, specs, num_partitions: int = 64):
     from .hashing import hash_column
     ops = {"min": np.minimum, "max": np.maximum, "sum": np.add}
 
-    def _runs(tbl: pa.Table, val_names):
-        keys = np.asarray(tbl[key_col])
+    def _reduce_runs(keys: np.ndarray, varrs):
         if keys.size == 0:
-            return keys, [np.asarray(tbl[n])[:0] for n in val_names]
+            return keys, [v[:0] for v in varrs]
         uk, inv = np.unique(keys, return_inverse=True)
         order = np.argsort(inv, kind="stable")
         inv_s = inv[order]
         starts = np.flatnonzero(np.concatenate(
             [[True], inv_s[1:] != inv_s[:-1]]))
-        return uk, [ops[op].reduceat(np.asarray(tbl[n])[order], starts)
-                    for (_, op, _), n in zip(specs, val_names)]
+        return uk, [ops[op].reduceat(v[order], starts)
+                    for (_, op, _), v in zip(specs, varrs)]
+
+    def _runs(tbl: pa.Table, val_names):
+        return _reduce_runs(np.asarray(tbl[key_col]),
+                            [np.asarray(tbl[n]) for n in val_names])
 
     def partial(batch: pa.Table) -> pa.Table:
         uk, red = _runs(batch, [vc for vc, _, _ in specs])
@@ -1232,16 +1202,11 @@ def grouped_reduce(ds, key_col: str, specs, num_partitions: int = 64):
     def final(g: pa.Table) -> pa.Table:
         if "blob" in g.column_names:
             key, vals = unpack_kv_part(g, len(specs))
-            keys = np.asarray(key)
-            uk, inv = np.unique(keys, return_inverse=True)
-            order = np.argsort(inv, kind="stable")
-            inv_s = inv[order]
-            starts = np.flatnonzero(np.concatenate(
-                [[True], inv_s[1:] != inv_s[:-1]]))
-            ktype = pa.string() if uk.dtype == object else None
+            uk, red = _reduce_runs(np.asarray(key), vals)
+            ktype = key.type if uk.dtype == object else None
             cols = {key_col: pa.array(uk, ktype)}
-            for (_, op, alias), v in zip(specs, vals):
-                cols[alias] = pa.array(ops[op].reduceat(v[order], starts))
+            for (_, _, alias), r in zip(specs, red):
+                cols[alias] = pa.array(r)
             return pa.table(cols)
         uk, red = _runs(g, [alias for _, _, alias in specs])
         cols = {key_col: pa.array(uk, g[key_col].type)}
@@ -1316,8 +1281,8 @@ def distinct_keys(ds, key_col: str, num_partitions: int = 64):
                 arr.type):
             # strings ride the exchange packed: one blob row per
             # partition id instead of one row per distinct key
-            # (pack_rows_by_part economics; output type becomes
-            # pa.string on the way out)
+            # (pack_rows_by_part economics; output type faithful to the
+            # input via the codec's kind flag)
             return pack_strings_by_part(part, arr)
         return pa.table({
             key_col: arr,
@@ -1326,8 +1291,9 @@ def distinct_keys(ds, key_col: str, num_partitions: int = 64):
 
     def uniq(g: pa.Table) -> pa.Table:
         if "blob" in g.column_names:
-            u = np.unique(np.asarray(unpack_part_strings(g)))
-            return pa.table({key_col: pa.array(u, pa.string())})
+            key = unpack_part_strings(g)
+            u = np.unique(np.asarray(key))
+            return pa.table({key_col: pa.array(u, key.type)})
         return pa.table({key_col: pa.array(
             np.unique(np.asarray(g[key_col])), g[key_col].type)})
 

@@ -174,7 +174,10 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         # success is a 2-core property of (seed, keys) alone, so native
         # and NumPy accept the SAME seed (pinned by tests/test_native.py).
         cells = _scratch("cells", 2 * array_len, U64)  # {xormask, count}
-        queue = _scratch("queue", array_len, np.uint32)
+        # +1 slack: the branchless FIFO push in C writes queue[qtail]
+        # unconditionally before advancing; if EVERY cell becomes a
+        # singleton the final dead-write lands one slot past array_len
+        queue = _scratch("queue", array_len + 1, np.uint32)
         stack_h = _scratch("stack_h", max(n, 1), U64)
         stack_hi = _scratch("stack_hi", max(n, 1), np.uint8)
         fp32 = _scratch("fp32", array_len, np.uint32)  # C memsets on entry

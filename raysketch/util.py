@@ -108,6 +108,11 @@ def scratch(name: str, size: int, dtype) -> "np.ndarray":
         return buf[:size]
     need = size * dt.itemsize
     _SCRATCH.pop(name, None)
+    if need > _SCRATCH_CAP:
+        # single buffer over the cliff: bail BEFORE evicting -- popping
+        # every retained buffer just to then not retain this one would
+        # reintroduce per-call first-touch provisioning for all of them
+        return np.empty(size, dtype=dt)
     # Evict least-recently-used OTHER entries until the new buffer fits
     # under the retention cliff (insertion order == recency; see the
     # move-to-end above).  The old behavior -- permanently disabling
@@ -117,7 +122,5 @@ def scratch(name: str, size: int, dtype) -> "np.ndarray":
     while _SCRATCH and (sum(b.nbytes for b in _SCRATCH.values())
                         + need > _SCRATCH_CAP):
         _SCRATCH.pop(next(iter(_SCRATCH)))
-    if need > _SCRATCH_CAP:               # single buffer over the cliff
-        return np.empty(size, dtype=dt)
     _SCRATCH[name] = np.empty(size, dtype=dt)
     return _SCRATCH[name]

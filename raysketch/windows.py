@@ -109,7 +109,10 @@ def session_windows(ds, key_col: str, ts_col: str, value_col: str,
     condition (fragments of one key never overlap in time, so sorted-by-
     start implies sorted-by-end and the scan is a plain interval merge).
     Stage-2 skew is bounded by the key's SESSION count (output-sized),
-    not its event count."""
+    not its event count.
+
+    The output key column is always int64 (keys are cast for hashing
+    and ride the packed exchange as int64; narrower int inputs widen)."""
     from .hashing import murmur64a_u64
     gap_us = gap_s * 1_000_000
     bucket_us = (bucket_s if bucket_s is not None else 10 * gap_s) * 1_000_000
