@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pytest
-from hypothesis import given, settings, strategies as st
+from fuzz_budget import fuzz_settings
+from hypothesis import given, strategies as st
 
 from raysketch.hashing import hash_strings
 from raysketch.sketches import RibbonFilter, SbbfFilter, XorFilter
@@ -87,7 +88,7 @@ def _hashes(keys: list[bytes]) -> np.ndarray:
     return np.unique(hash_strings(pa.array(keys, type=pa.binary())))
 
 
-@settings(max_examples=30, deadline=None)
+@fuzz_settings(30)
 @given(keys=_keyset)
 def test_fuzz_hash_build_probe_zero_fn(keys):
     """Every framed key set builds every registry config and every
@@ -102,7 +103,7 @@ def test_fuzz_hash_build_probe_zero_fn(keys):
         assert f.check(h).all(), f"false negative in {name}"
 
 
-@settings(max_examples=30, deadline=None)
+@fuzz_settings(30)
 @given(keys=_keyset,
        cuts=st.lists(st.integers(0, 256), max_size=4),
        lo=st.integers(0, 32), hi=st.integers(0, 32))

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from fuzz_budget import fuzz_settings
+from hypothesis import given, strategies as st
 
 from raysketch.pipeline import (pack_kv_by_part, pack_rows_by_part,
                                 pack_strings_by_part, unpack_kv_part,
@@ -31,7 +32,7 @@ def _as_binary(table: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-@settings(max_examples=50, deadline=None)
+@fuzz_settings(50)
 @given(st.integers(0, 500), st.integers(1, 4), st.integers(1, 8),
        st.booleans())
 def test_rows_roundtrip(n, k, parts, as_binary):
@@ -62,7 +63,7 @@ def test_rows_roundtrip(n, k, parts, as_binary):
                 == cols[j][order_in]).all()
 
 
-@settings(max_examples=40, deadline=None)
+@fuzz_settings(40)
 @given(st.lists(st.text(min_size=0, max_size=40), min_size=0,
                 max_size=200),
        st.integers(1, 8), st.booleans(), st.booleans())
@@ -93,7 +94,7 @@ def test_strings_roundtrip(strings, parts, large, as_binary):
     assert (got[order_out] == want).all()
 
 
-@settings(max_examples=40, deadline=None)
+@fuzz_settings(40)
 @given(st.integers(0, 300), st.integers(1, 6), st.booleans(),
        st.booleans())
 def test_kv_roundtrip_mixed_dtypes(n, parts, str_key, as_binary):

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from fuzz_budget import fuzz_settings
+from hypothesis import given, strategies as st
 
 from raysketch.hashing import hash_strings
 from raysketch.sketches import (BottomKSketch, CmsSketch, HllSketch,
@@ -25,7 +26,7 @@ def _partition(arr: np.ndarray, cuts: list[int]) -> list[np.ndarray]:
     return np.split(arr, idx)
 
 
-@settings(max_examples=25, deadline=None)
+@fuzz_settings(25)
 @given(keys=u64s, cuts=st.lists(st.integers(0, 400), max_size=5),
        reverse=st.booleans())
 def test_hll_merge_partition_invariant(keys, cuts, reverse):
@@ -45,7 +46,7 @@ def test_hll_merge_partition_invariant(keys, cuts, reverse):
     assert (acc.registers == single.registers).all()
 
 
-@settings(max_examples=25, deadline=None)
+@fuzz_settings(25)
 @given(keys=u64s, cuts=st.lists(st.integers(0, 400), max_size=5),
        reverse=st.booleans())
 def test_cms_merge_partition_invariant(keys, cuts, reverse):
@@ -63,7 +64,7 @@ def test_cms_merge_partition_invariant(keys, cuts, reverse):
     assert (acc.table == single.table).all()
 
 
-@settings(max_examples=25, deadline=None)
+@fuzz_settings(25)
 @given(keys=u64s, cuts=st.lists(st.integers(0, 400), max_size=5))
 def test_sbbf_or_merge_equals_single_build(keys, cuts):
     """SBBF partial OR-merge == single-shot build at the same num_blocks
@@ -80,7 +81,7 @@ def test_sbbf_or_merge_equals_single_build(keys, cuts):
     assert (acc.words == single.words).all()
 
 
-@settings(max_examples=25, deadline=None)
+@fuzz_settings(25)
 @given(keys=u64s, cuts=st.lists(st.integers(0, 400), max_size=5))
 def test_bottomk_is_pure_set_function(keys, cuts):
     h = np.array(keys, dtype=np.uint64)
@@ -98,7 +99,7 @@ def test_bottomk_is_pure_set_function(keys, cuts):
     assert acc.payload == single.payload
 
 
-@settings(max_examples=15, deadline=None)
+@fuzz_settings(15)
 @given(keys=u64s)
 def test_filters_zero_false_negatives_any_input(keys):
     """The reference's core invariant (src/tests.zig:60-67) on arbitrary
@@ -114,7 +115,7 @@ def test_filters_zero_false_negatives_any_input(keys):
     assert rb.check(h).all()
 
 
-@settings(max_examples=15, deadline=None)
+@fuzz_settings(15)
 @given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9,
                                allow_nan=False), min_size=0, max_size=300),
        cuts=st.lists(st.integers(0, 300), max_size=3))
@@ -140,7 +141,7 @@ def test_kll_merge_estimate_stable(vals, cuts):
         assert lo <= est <= hi, (q, est, lo, hi)
 
 
-@settings(max_examples=20, deadline=None)
+@fuzz_settings(20)
 @given(keys=u64s)
 def test_envelope_roundtrip_every_kind(keys):
     h = np.unique(np.array(keys, dtype=np.uint64))
