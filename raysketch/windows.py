@@ -6,11 +6,13 @@ Ray-Data-first:
                        (window_start derived vectorized, partial counts/sums)
                        -> one groupby on (window_start, dims) -- classic
                        pre-aggregated exact window aggregate
-  session_windows      gap-based sessions per key: groupby(key).map_groups,
-                       sort-by-ts inside the group, split at gaps > gap --
-                       the partitioning assumption is one key's events fit
-                       in one group (same contract as the holistic filter
-                       builds; salt/sub-window if a single key is huge)
+  session_windows      gap-based sessions per key: hot-key-safe two-stage
+                       shape -- stage 1 sessionizes per (key, time bucket)
+                       so group volume is bounded by event-rate * bucket
+                       width even for one pathological key; stage 2
+                       interval-merges the per-session FRAGMENT rows
+                       (output-sized, not event-sized) across bucket
+                       boundaries and numbers sessions
 
 Both are EXACT and deterministic, with DuckDB window-function oracles in
 __ray_entry__.py.
