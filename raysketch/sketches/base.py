@@ -13,6 +13,16 @@ Large envelopes (> _COMPRESS_MIN) are wrapped as MAGIC 'RSKZ' | zlib(RSK1
 blob): partial sketch states (CMS tables, SBBF bit arrays) are sparse at
 per-block granularity, so compression cuts shuffle/object-store bytes by
 10-100x for the cost of a level-1 deflate.  Deterministic (fixed level).
+
+FULLY-BUILT filter payloads, by contrast, are near-random bits by design
+(uniform fingerprints / target-load Bloom words) and measured 0.4-11.5%
+deflation for 25-85 ms of level-1 zlib per 1M-key partition -- at 10^6
+partitions that is CPU-hours spent on the build's hot path for almost no
+byte savings, plus a zlib.decompress on every cold probe decode.  pack()
+therefore probes two strided slices first (~0.4 ms) and only deflates the
+whole payload when the sample compresses below _SAMPLE_RATIO; sparse
+partial states sail through the guard, incompressible finals skip it.
+Still deterministic: the decision is a pure function of the raw bytes.
 """
 
 from __future__ import annotations
@@ -27,6 +37,23 @@ import numpy as np
 _MAGIC = b"RSK1"
 _MAGIC_Z = b"RSKZ"
 _COMPRESS_MIN = 4096
+_SAMPLE = 8192          # bytes per probe slice (two slices)
+_SAMPLE_RATIO = 0.85    # sample must beat this to justify a full deflate
+
+
+def _worth_compressing(raw: bytes) -> bool:
+    """Cheap compressibility probe for large envelopes.
+
+    Two strided 8 KiB slices (at 1/3 and 2/3 of the blob, skipping the
+    json header region) stand in for the whole payload: sparse partial
+    sketch states compress ~10-100x everywhere, while fully-loaded filter
+    payloads are uniformly near-random, so a couple of samples classify
+    reliably.  The 0.85 bar deliberately rejects marginal cases like a
+    loaded sbbf24's 0.885 -- an 11% byte saving is not worth 85 ms per
+    build task plus a decompress on every cold probe decode."""
+    third = len(raw) // 3
+    sample = raw[third:third + _SAMPLE] + raw[2 * third:2 * third + _SAMPLE]
+    return len(zlib.compress(sample, 1)) < _SAMPLE_RATIO * len(sample)
 
 
 def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
@@ -47,7 +74,8 @@ def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
                          "hashv": HASH_VERSION},
                         separators=(",", ":")).encode()
     raw = b"".join([_MAGIC, struct.pack("<I", len(header)), header, *payloads])
-    if len(raw) > _COMPRESS_MIN:
+    if len(raw) > _COMPRESS_MIN and (len(raw) <= 6 * _SAMPLE
+                                     or _worth_compressing(raw)):
         z = zlib.compress(raw, 1)
         if len(z) + 4 < len(raw):
             return _MAGIC_Z + z
