@@ -57,6 +57,18 @@ PARTITION_TARGET_KEYS = {"xorf": 1_000_000, "ribbon": 200_000,
                          "sbbf": 1_000_000}
 
 
+def _as_u8(payload) -> np.ndarray:
+    """Wrap an envelope's bytes as a uint8 array (no copy) for ray.put.
+
+    Ray serializes numpy arrays as out-of-band plasma buffers, so every
+    `ray.get` on a node returns a READ-ONLY view into one shared mapping
+    instead of a private bytes copy per worker.  unpack() decodes such
+    views zero-copy for raw RSK1 envelopes (the common case for built
+    filters since the incompressible-payload deflate skip), so N probing
+    workers share one decoded filter image per node."""
+    return np.frombuffer(bytes(payload), dtype=np.uint8)
+
+
 def choose_num_partitions(n_keys: int, target_keys: int | None = None,
                           kind: str = "xorf") -> int:
     """Partition count from corpus size, NOT cluster size: one filter per
@@ -675,7 +687,7 @@ def _payload_refs(filter_table):
                 continue
             for pid, p in zip(tbl["partition_id"].to_pylist(),
                               tbl["payload"].to_pylist()):
-                out[int(pid)] = ray.put(bytes(p))
+                out[int(pid)] = ray.put(_as_u8(p))
             num_partitions = num_partitions or int(
                 tbl["num_partitions"][0].as_py())
             del tbl
@@ -683,7 +695,7 @@ def _payload_refs(filter_table):
         return out, (num_partitions or 1)
     # pandas path (already driver-resident, i.e. small)
     pdf = filter_table
-    refs = {int(r["partition_id"]): ray.put(bytes(r["payload"]))
+    refs = {int(r["partition_id"]): ray.put(_as_u8(r["payload"]))
             for _, r in pdf.iterrows()}
     npart = int(pdf["num_partitions"].iloc[0]) if len(pdf) else 1
     return refs, npart
@@ -791,8 +803,8 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
                 t["num_partitions"][0].as_py())
             for pid, p in zip(t["partition_id"].to_pylist(),
                               t["payload"].to_pylist()):
-                b = bytes(p)
-                total_bytes += len(b)
+                b = _as_u8(p)   # uint8 view: plasma-zero-copy on ray.get
+                total_bytes += b.nbytes
                 blobs[int(pid)] = b
             if total_bytes > max_broadcast_bytes:
                 break
@@ -806,7 +818,7 @@ def probe(filter_table, ds, key_col: str, out_col: str = "hit",
             if len(pdf) else 0
         if total_bytes > max_broadcast_bytes:
             return probe_colocated(pdf, ds, key_col, out_col, seed)
-        blobs = {int(r["partition_id"]): bytes(r["payload"])
+        blobs = {int(r["partition_id"]): _as_u8(r["payload"])
                  for _, r in pdf.iterrows()}
         num_partitions = int(pdf["num_partitions"].iloc[0]) if len(pdf) \
             else 1
@@ -1489,7 +1501,7 @@ def semijoin_filter_verify(ds, key_col: str, build_ds, build_key_col: str,
     ft = build_filter_table(build_ds, build_key_col, kind, params,
                             num_partitions=num_partitions).materialize()
     pdf = ft.to_pandas()
-    blobs = {int(r["partition_id"]): bytes(r["payload"])
+    blobs = {int(r["partition_id"]): _as_u8(r["payload"])
              for _, r in pdf.iterrows()}
     blobs_ref = ray.put(blobs)
 

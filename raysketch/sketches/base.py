@@ -82,13 +82,21 @@ def pack(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
     return raw
 
 
-def unpack(blob: bytes) -> tuple[str, dict, dict[str, np.ndarray]]:
-    if blob[:4] == _MAGIC_Z:
+def unpack(blob) -> tuple[str, dict, dict[str, np.ndarray]]:
+    """Decode an envelope from bytes OR any buffer (memoryview, uint8
+    ndarray).  Raw RSK1 envelopes decode ZERO-COPY: the returned arrays
+    are read-only views into the caller's buffer -- when that buffer is a
+    Ray plasma-backed object, every worker on a node shares one mapping
+    instead of each holding a private multi-MB copy.  Mutating consumers
+    must copy (the filter classes promote lazily on first write)."""
+    if isinstance(blob, np.ndarray):
+        blob = memoryview(blob)
+    if bytes(blob[:4]) == _MAGIC_Z:
         blob = zlib.decompress(blob[4:])
-    if blob[:4] != _MAGIC:
+    if bytes(blob[:4]) != _MAGIC:
         raise ValueError("bad sketch envelope magic")
     (hlen,) = struct.unpack_from("<I", blob, 4)
-    header = json.loads(blob[8:8 + hlen].decode())
+    header = json.loads(bytes(blob[8:8 + hlen]).decode())
     from ..hashing import HASH_VERSION
     got = header.get("hashv")
     if got is not None and got != HASH_VERSION:

@@ -504,7 +504,10 @@ class RibbonFilter(Sketch):
                 f"code probes with {cls.DERIVATION!r}; rebuild the filter "
                 "(probing a stale payload would mass-produce false "
                 "negatives)")
-        return cls(meta["seed"], arrays["solution"].copy(),
+        # no copy: the solution is never mutated after construction, so a
+        # decoded filter keeps the (possibly read-only, plasma-backed)
+        # envelope view shared by every probing worker on the node
+        return cls(meta["seed"], arrays["solution"],
                    meta["coeff_bits"], meta["result_bits"], meta["num_keys"])
 
     def mem_usage(self) -> int:

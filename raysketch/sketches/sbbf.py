@@ -55,11 +55,11 @@ class SbbfFilter(Sketch):
 
     def __init__(self, words: np.ndarray, bits_per_key: int,
                  num_keys: int = 0):
-        # words: flat (num_blocks * 8,) u64; must be writable (insert and
-        # the native C kernel mutate in place -- a frombuffer view is not)
+        # words: flat (num_blocks * 8,) u64.  Read-only views (zero-copy
+        # envelope decodes over plasma-backed broadcast payloads) are kept
+        # as-is for probing; mutating ops promote to a private copy
+        # lazily via _writable() so probe-only workers share one mapping.
         self.words = np.ascontiguousarray(words, dtype=U64)
-        if not self.words.flags.writeable:
-            self.words = self.words.copy()
         self.num_blocks = len(self.words) // 8
         self.bits_per_key = int(bits_per_key)
         self.num_keys = int(num_keys)
@@ -82,10 +82,17 @@ class SbbfFilter(Sketch):
         f.num_keys = n
         return f
 
+    def _writable(self) -> None:
+        """Promote a zero-copy (read-only) words view to a private copy
+        before the first mutation; no-op on already-owned arrays."""
+        if not self.words.flags.writeable:
+            self.words = self.words.copy()
+
     def insert(self, hashes: np.ndarray) -> None:
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
             return
+        self._writable()
         from ..native import get_lib
         lib = get_lib()
         if lib is not None:     # bit-compatible C loop (pytest-verified)
@@ -117,6 +124,7 @@ class SbbfFilter(Sketch):
         hashes = np.asarray(hashes, dtype=U64)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
+        self._writable()
         n = len(hashes)
         idx = _block_index(self.num_blocks, hashes).astype(np.int64)
         mask = _make_mask(hashes)
@@ -160,6 +168,7 @@ class SbbfFilter(Sketch):
     def merge(self, other: "SbbfFilter") -> "SbbfFilter":
         if other.num_blocks != self.num_blocks:
             raise ValueError("SBBF merge requires identical num_blocks")
+        self._writable()
         self.words |= other.words
         self.num_keys += other.num_keys  # upper bound (dups across partials)
         return self
@@ -196,7 +205,9 @@ class SbbfFilter(Sketch):
 
     @classmethod
     def _from_parts(cls, meta, arrays) -> "SbbfFilter":
-        return cls(arrays["words"].copy(), meta["bits_per_key"],
+        # no copy: probe-only decodes keep the envelope view (shared,
+        # possibly read-only); insert/merge promote lazily via _writable()
+        return cls(arrays["words"], meta["bits_per_key"],
                    meta["num_keys"])
 
     def mem_usage(self) -> int:

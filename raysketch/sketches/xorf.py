@@ -329,7 +329,11 @@ class XorFilter(Sketch):
 
     @classmethod
     def _from_parts(cls, meta, arrays) -> "XorFilter":
-        return cls(meta["header"], arrays["fingerprints"].copy(),
+        # no copy: fingerprints are never mutated after construction, so a
+        # decoded filter keeps the (possibly read-only, plasma-backed)
+        # envelope view -- one shared mapping per node instead of a
+        # private multi-MB copy per probing worker
+        return cls(meta["header"], arrays["fingerprints"],
                    meta["arity"], meta["fp_bits"], meta["num_keys"])
 
     def mem_usage(self) -> int:

@@ -196,3 +196,54 @@ def test_envelope_compression_guard():
     assert blob[:4] == b"RSKZ"
     _, _, arrays = unpack(blob)
     assert np.array_equal(arrays["regs"], small)
+
+
+def test_zero_copy_envelope_decode():
+    """Raw RSK1 envelopes decode as VIEWS into the caller's buffer.
+
+    The broadcast probe path ships envelopes as uint8 arrays so ray.get
+    maps them plasma-zero-copy; unpack() must then return array views
+    (no private copy per worker) and the filter classes must tolerate
+    the resulting READ-ONLY arrays -- probing works as-is, mutating ops
+    promote to a private copy lazily instead of failing."""
+    from raysketch.sketches import SbbfFilter, XorFilter, RibbonFilter
+    from raysketch.sketches.base import unpack
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**64, size=20_000, dtype=np.uint64)
+
+    for make in (lambda: SbbfFilter.build(h, bits_per_key=24),
+                 lambda: XorFilter.build(h, arity=3, fp_bits=16),
+                 lambda: RibbonFilter.build(h, coeff_bits=64,
+                                            result_bits=16)):
+        f = make()
+        blob = f.to_bytes()
+        if blob[:4] != b"RSK1":
+            continue    # compressed envelope: decode necessarily copies
+        # simulate the plasma shape: a read-only uint8 ndarray
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        assert not buf.flags.writeable
+        kind, meta, arrays = unpack(buf)
+        for arr in arrays.values():
+            assert np.shares_memory(arr, buf)   # zero-copy
+            assert not arr.flags.writeable
+        g = type(f)._from_parts(meta, arrays)
+        assert np.array_equal(g.check(h), f.check(h))
+        assert g.check(h).all()     # zero false negatives on a view
+
+    # sbbf mutating ops promote a read-only view lazily (no crash, same
+    # bits as a writable filter)
+    f = SbbfFilter.build(h[:10_000], bits_per_key=24)
+    buf = np.frombuffer(f.to_bytes(), dtype=np.uint8)
+    _, meta, arrays = unpack(buf)
+    g = SbbfFilter._from_parts(meta, arrays)
+    assert not g.words.flags.writeable
+    g.insert(h[10_000:])            # promotes via _writable()
+    assert g.words.flags.writeable
+    ref = SbbfFilter.build(h[:10_000], bits_per_key=24)
+    ref.insert(h[10_000:])
+    assert np.array_equal(g.words, ref.words)
+    # merge promotes too
+    g2 = SbbfFilter._from_parts(*unpack(buf)[1:])
+    g2.merge(ref)
+    assert g2.words.flags.writeable
