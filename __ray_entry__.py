@@ -886,7 +886,7 @@ def _q_multimodal_stubs(sf_dir: str):
             b = (np.asarray(t[b_col]).astype(np.int64) if b_col
                  else np.zeros(n, dtype=np.int64))
             return pa.table({
-                "modality": pa.array([modality] * n),
+                "modality": pa.array([modality] * n, pa.string()),
                 "media_id": t["media_id"],
                 "a": pa.array(np.asarray(t[a_col]).astype(np.int64)),
                 "b": pa.array(b),

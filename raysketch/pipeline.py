@@ -293,11 +293,21 @@ def unpack_kv_part(group: pa.Table, nvals: int):
     vals_all: list[list] = [[] for _ in range(nvals)]
     kind_seen = None
     for ch in chunks:
-        for blob in ch:
-            b = blob.as_py()
+        if len(ch) == 0:
+            continue
+        # decode blobs as views into the arrow buffers (sibling pattern
+        # of unpack_part_rows) -- no per-blob bytes copy; the section
+        # views die when np.concatenate materializes the outputs.  A
+        # shuffle hop may rewrite large_binary offsets as binary i32.
+        odt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        off = np.frombuffer(ch.buffers()[1], dtype=odt)
+        off = off[ch.offset:ch.offset + len(ch) + 1]
+        cdata = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        for bi in range(len(ch)):
+            b = cdata[int(off[bi]):int(off[bi + 1])]
             pos = 0
             n = int(np.frombuffer(b, np.int64, 1, pos)[0]); pos += 8
-            kkind = b[pos]; pos += 1
+            kkind = int(b[pos]); pos += 1
             if kind_seen is None:
                 kind_seen = kkind
             if kkind != 1:
@@ -309,8 +319,8 @@ def unpack_kv_part(group: pa.Table, nvals: int):
                 kints_all.append(np.frombuffer(b, np.int64, n, pos))
                 pos += 8 * n
             for j in range(nvals):
-                dlen = b[pos]; pos += 1
-                dt = np.dtype(b[pos:pos + dlen].decode()); pos += dlen
+                dlen = int(b[pos]); pos += 1
+                dt = np.dtype(bytes(b[pos:pos + dlen]).decode()); pos += dlen
                 vals_all[j].append(np.frombuffer(b, dt, n, pos))
                 pos += dt.itemsize * n
     vals = [np.concatenate(v) if v else np.zeros(0) for v in vals_all]
@@ -1199,13 +1209,17 @@ def grouped_reduce(ds, key_col: str, specs, num_partitions: int = 64):
         part = (h % np.uint64(num_partitions)).astype(np.int64)
         kt = karr.type
         # utf8 and int64 keys ride the exchange packed (one blob row per
-        # partition id, pack_kv_by_part); other key dtypes keep the
-        # per-row column flow (dtype is constant across batches, so the
-        # output schema stays consistent either way)
-        if (pa.types.is_string(kt) or pa.types.is_large_string(kt)
-                or uk.dtype == np.int64):
+        # partition id, pack_kv_by_part); other key dtypes -- and any
+        # object-dtype VALUE column (e.g. a string value), whose raw
+        # bytes are pointers and cannot ride a blob -- keep the per-row
+        # column flow (dtype is constant across batches, so the output
+        # schema stays consistent either way)
+        vecs = [np.asarray(r) for r in red]
+        if ((pa.types.is_string(kt) or pa.types.is_large_string(kt)
+                or uk.dtype == np.int64)
+                and all(v.dtype != object for v in vecs)):
             keys = karr if uk.dtype == object else uk
-            return pack_kv_by_part(part, keys, [np.asarray(r) for r in red])
+            return pack_kv_by_part(part, keys, vecs)
         cols = {key_col: karr, "_part": pa.array(part.astype(np.int32))}
         for (vc, _, alias), r in zip(specs, red):
             cols[alias] = pa.array(r, batch[vc].type)

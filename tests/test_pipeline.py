@@ -352,6 +352,21 @@ def test_grouped_reduce_matches_pandas(ray_session):
              .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2, want2)
 
+    # object-dtype (string) VALUE column: must skip the packed-blob
+    # exchange (pointer bytes can't ride a blob) and still reduce right
+    df3 = pd.DataFrame({
+        "k": (rng.integers(0, 500, size=4_000)).astype(np.int64),
+        "s": [f"v{i % 777:04d}" for i in range(4_000)],
+    })
+    ds3 = rd.from_arrow(pa.Table.from_pandas(df3)).repartition(5)
+    got3 = (grouped_reduce(ds3, "k", [("s", "min", "first_s"),
+                                      ("s", "max", "last_s")])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    want3 = (df3.groupby("k", as_index=False)
+             .agg(first_s=("s", "min"), last_s=("s", "max"))
+             .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got3, want3)
+
 
 def test_pack_by_pid_roundtrip_no_ray():
     """The packed build exchange (_pack_by_pid -> _unpack_group_hashes)
