@@ -86,3 +86,49 @@ def test_mru_order_tracks_access():
     util.scratch("b", 128, np.uint8)
     util.scratch("a", 64, np.uint8)  # re-access marks MRU
     assert list(util._SCRATCH) == ["b", "a"]
+
+
+# --- pool() / partition-sizing helpers (also Ray-free) ---------------------
+
+
+def test_pool_int_becomes_autoscaling_range():
+    # fixed N-actor pools deadlock an N-cpu cluster (docstring rationale)
+    assert util.pool(8) == (1, 8)
+    assert util.pool(2) == (1, 2)
+
+
+def test_pool_one_and_passthrough():
+    assert util.pool(1) == 1
+    assert util.pool((2, 6)) == (2, 6)
+    assert util.pool(None) is None
+
+
+def test_choose_num_partitions_per_kind_targets():
+    from raysketch.pipeline import PARTITION_TARGET_KEYS, choose_num_partitions
+
+    # one filter per ~target keys, ceil division, never zero
+    assert choose_num_partitions(0) == 1
+    assert choose_num_partitions(1) == 1
+    assert choose_num_partitions(1_000_000, kind="xorf") == 1
+    assert choose_num_partitions(1_000_001, kind="xorf") == 2
+    assert choose_num_partitions(1_000_000, kind="ribbon") == 5
+    assert choose_num_partitions(500, target_keys=100) == 5
+    # corpus-driven, not cluster-driven: 10^12 keys >> any core count
+    assert choose_num_partitions(10**12, kind="xorf") == 10**6
+    assert set(PARTITION_TARGET_KEYS) == {"xorf", "ribbon", "sbbf"}
+
+
+def test_coarse_group_count_clamps_to_partitions():
+    import ray
+
+    from raysketch.pipeline import _coarse_group_count
+
+    # ~2 reduce groups per cluster cpu (8-cpu planning floor when no Ray
+    # session exists — this may run before OR after the Ray-using suites)
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    else:
+        cpus = 8
+    assert _coarse_group_count(10_000) == 2 * cpus
+    assert _coarse_group_count(5) == 5   # never more groups than partitions
+    assert _coarse_group_count(1) == 1
