@@ -237,7 +237,13 @@ def pack_kv_by_part(part: np.ndarray, keys, vals: list) -> pa.Table:
     [n:int64][kkind:u8][key section][per value: dlen:u8 + dtype.str +
     raw bytes].  kkind 0 = pa.string key / 2 = pa.large_string key
     (both encoded as lens i32[n] + utf8 bytes; the flag restores the
-    source type on unpack), 1 = int64."""
+    source type on unpack), 1 = int64.
+
+    Contract: keys must be null-free (a null would decode as "" --
+    the validity bitmap does not ride the blob).  Every caller
+    guarantees this upstream: grouped_reduce/distinct_keys np.unique
+    their keys first, which raises loudly on None in an object array,
+    and the dedup/window/LSH exchanges pack engine-generated ids."""
     if part.size == 0:
         return pa.table({"_part": pa.array([], pa.int32()),
                          "blob": pa.array([], pa.large_binary())})
