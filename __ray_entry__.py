@@ -916,10 +916,16 @@ def _q_multimodal_stubs(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
+    # threshold 0.8: at 128 perms / 32 bands (r=4) a pair with jaccard
+    # >= 0.8 escapes every band with probability (1 - 0.8^4)^32 ~= 5e-8,
+    # so the banded-candidate + exact-verify output provably equals the
+    # exhaustive all-pairs SQL oracle (validated bit-identical at
+    # sf0.001/0.01/0.1).  The looser-threshold approximate-recall demo
+    # is minhash_neardup_pairs (threshold 0.5, rows-only by design).
     from raysketch.dedup import ngram_jaccard_pairs
     sh = _neardup_shared(sf_dir)
     return ngram_jaccard_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
-                               shingle_k=5, threshold=0.5,
+                               shingle_k=5, threshold=0.8,
                                sigs=sh["sigs"], cand=sh["cand"])
 
 
@@ -1174,6 +1180,47 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT * FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        # Exact all-pairs character-5-gram Jaccard over the same corpus
+        # (documents + planted near-dups) the Ray query shingles.  The
+        # engine's MinHash-LSH candidate stage is deterministic (fixed
+        # perm seeds), its verify stage computes EXACT Jaccard, and at
+        # threshold 0.8 banded recall is 1 - ~5e-8 per pair (see
+        # _q_ngram_jaccard), so the pair set equals the exhaustive SQL
+        # (validated bit-identical at sf0.001/0.01/0.1; at threshold 0.5
+        # LSH recall is < 1 by design -- sf0.1 misses 2 of 6021 pairs --
+        # which is why the oracle pins 0.8).  substr is codeunit-based
+        # like the planting slice; texts are ASCII and >= 44 bytes at
+        # every sf, so byte shingles == char shingles and the short-doc
+        # pad path never triggers.
+        "ngram_jaccard_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, substr(text, 21) FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 4)) AS i
+              FROM corpus
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS g FROM pos
+            ),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            ipair AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) AS jaccard
+            FROM ipair
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.8
+        """,
         # DuckDB's regexp engine is RE2, same as pyarrow's -- the identical
         # pattern string must count identical tokens
         "bpe_token_stats_docs": (
