@@ -519,16 +519,28 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_neardup_dedup(sf_dir: str):
-    """Full near-dup DEDUP (keep min id per connected component of the
-    verified minhash pair graph; distributed label propagation).  On the
-    planted corpus every doc_id+100000 near-dup loses to its source, so
-    the output is (close to) the original documents (rows-only: LSH
-    recall is probabilistic; component semantics pytest-verified)."""
-    from raysketch.dedup import neardup_dedup
+    """Full near-dup DEDUP: keep the min doc_id per connected component
+    of the near-dup pair graph (distributed min-label propagation +
+    anti-join survivors, dedup.py:neardup_dedup).
+
+    The driver query drives the component machinery from the EXACT
+    ngram-Jaccard pair graph at threshold 0.8 (same provably-exhaustive
+    configuration as `ngram_jaccard_pairs`: banded candidate recall
+    1 - ~5e-8 per qualifying pair, exact re-shingle verify), so the
+    whole pipeline -- pairs, components, survivor anti-join -- is
+    checkable against an all-pairs + recursive-CTE SQL oracle.  The
+    production default stays the minhash-estimate path at looser
+    thresholds (demonstrated rows-only by `minhash_neardup_pairs`);
+    component semantics are additionally pytest-verified on transitive
+    chains."""
+    from raysketch.dedup import neardup_dedup, ngram_jaccard_pairs
     sh = _neardup_shared(sf_dir)
-    out = neardup_dedup(_neardup_corpus(sf_dir), "text", "doc_id",
-                        num_perm=128, bands=32, threshold=0.5,
-                        sigs=sh["sigs"], cand=sh["cand"], pairs=sh["pairs"])
+    corpus = _neardup_corpus(sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id",
+                                shingle_k=5, threshold=0.8,
+                                sigs=sh["sigs"], cand=sh["cand"],
+                                collect=False)
+    out = neardup_dedup(corpus, "text", "doc_id", pairs=pairs)
     return out.map_batches(lambda t: t.select(["doc_id"]),
                            batch_format="pyarrow")
 
@@ -1220,6 +1232,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.8
+        """,
+        # Same exhaustive pair graph as ngram_jaccard_pairs (threshold
+        # 0.8, where banded recall is provably ~1), then connected
+        # components by transitive closure (recursive CTE: every label
+        # flows along undirected edges; MIN per node = component min --
+        # the same fixpoint the engine's distributed min-label
+        # propagation computes) and min-id survivors via anti-join.
+        "neardup_dedup_docs": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, substr(text, 21) FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 4)) AS i
+              FROM corpus
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS g FROM pos
+            ),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            ipair AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            -- MATERIALIZED is load-bearing: without it DuckDB re-
+            -- evaluates the whole all-pairs chain on EVERY recursive
+            -- iteration of `reach` (measured: exceeds an 80 GB temp
+            -- disk at sf0.1; materialized, the query runs in ~39 s)
+            pairs AS MATERIALIZED (
+              SELECT doc_a, doc_b
+              FROM ipair
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE CAST(ic AS DOUBLE) / (ca.c + cb.c - ic) >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL
+              SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+            ),
+            minlab AS (SELECT node, MIN(lab) AS lab FROM reach
+                       GROUP BY node)
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id
+            FROM corpus c LEFT JOIN minlab m ON m.node = c.doc_id
+            WHERE m.node IS NULL OR m.lab = c.doc_id
         """,
         # DuckDB's regexp engine is RE2, same as pyarrow's -- the identical
         # pattern string must count identical tokens
