@@ -563,9 +563,15 @@ def _q_quality(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """Content fingerprints with the md5 cross-engine kernel so the
+    DuckDB oracle reproduces every fingerprint byte-for-byte (the
+    production default stays the engine's xxh3 kernel -- same
+    normalization, faster hash; kernel parity is pytest-pinned)."""
     from raysketch.text import fingerprints
-    out = _cached_docs(sf_dir).map_batches(fingerprints,
-                                           batch_format="pyarrow")
+    import functools
+    out = _cached_docs(sf_dir).map_batches(
+        functools.partial(fingerprints, kernel="md5"),
+        batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "fingerprint": pc.cast(
@@ -1287,6 +1293,16 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN minlab m ON m.node = c.doc_id
             WHERE m.node IS NULL OR m.lab = c.doc_id
         """,
+        # The md5-kernel fingerprint is DEFINED as the value of this SQL
+        # expression (big-endian u64 of the first 8 digest bytes of the
+        # whitespace-collapsed lowercased text); both regexp engines are
+        # RE2, so the normalization matches byte-for-byte too.  Rendered
+        # as decimal VARCHAR on both sides.
+        "doc_fingerprints": (
+            "SELECT doc_id, CAST(('0x' || substr(md5("
+            r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+            "), 1, 16))::UBIGINT AS VARCHAR) AS fingerprint "
+            "FROM documents"),
         # DuckDB's regexp engine is RE2, same as pyarrow's -- the identical
         # pattern string must count identical tokens
         "bpe_token_stats_docs": (

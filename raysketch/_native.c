@@ -1188,33 +1188,56 @@ static void md5_block(uint32_t st[4], const uint8_t *p)
     st[0] += a; st[1] += b; st[2] += c; st[3] += d;
 }
 
+static void md5_state(const uint8_t *msg, uint64_t len, uint32_t st[4])
+{
+    st[0] = 0x67452301u; st[1] = 0xefcdab89u;
+    st[2] = 0x98badcfeu; st[3] = 0x10325476u;
+    uint64_t k = 0;
+    for (; k + 64 <= len; k += 64)
+        md5_block(st, msg + k);
+    uint8_t tail[128];
+    uint64_t rem = len - k;
+    if (rem)
+        memcpy(tail, msg + k, rem);
+    tail[rem] = 0x80;
+    uint64_t padlen = rem < 56 ? 64 : 128;
+    memset(tail + rem + 1, 0, (size_t)(padlen - rem - 1 - 8));
+    uint64_t bits = len * 8;
+    for (int j = 0; j < 8; j++)
+        tail[padlen - 8 + j] = (uint8_t)(bits >> (8 * j));
+    md5_block(st, tail);
+    if (padlen == 128)
+        md5_block(st, tail + 64);
+}
+
 void md5_u16_bytes(const int64_t *offsets, const uint8_t *data, int64_t n,
                    uint16_t *out)
 {
     for (int64_t i = 0; i < n; i++) {
-        const uint8_t *msg = data + offsets[i];
-        uint64_t len = (uint64_t)(offsets[i + 1] - offsets[i]);
-        uint32_t st[4] = {0x67452301u, 0xefcdab89u,
-                          0x98badcfeu, 0x10325476u};
-        uint64_t k = 0;
-        for (; k + 64 <= len; k += 64)
-            md5_block(st, msg + k);
-        uint8_t tail[128];
-        uint64_t rem = len - k;
-        if (rem)
-            memcpy(tail, msg + k, rem);
-        tail[rem] = 0x80;
-        uint64_t padlen = rem < 56 ? 64 : 128;
-        memset(tail + rem + 1, 0, (size_t)(padlen - rem - 1 - 8));
-        uint64_t bits = len * 8;
-        for (int j = 0; j < 8; j++)
-            tail[padlen - 8 + j] = (uint8_t)(bits >> (8 * j));
-        md5_block(st, tail);
-        if (padlen == 128)
-            md5_block(st, tail + 64);
+        uint32_t st[4];
+        md5_state(data + offsets[i],
+                  (uint64_t)(offsets[i + 1] - offsets[i]), st);
         /* digest[0..1] are the low two LE bytes of st[0]; the DuckDB
          * expression reads them as a big-endian u16 */
         out[i] = (uint16_t)(((st[0] & 0xFFu) << 8) | ((st[0] >> 8) & 0xFFu));
+    }
+}
+
+/* Big-endian u64 of digest bytes 0..7 -- the value of the DuckDB
+ * expression ('0x' || substr(md5(k), 1, 16))::UBIGINT.  digest[0..3]
+ * are the LE bytes of st[0] and digest[4..7] the LE bytes of st[1],
+ * so the BE read is (bswap32(st0) << 32) | bswap32(st1).  Serves
+ * fingerprints(kernel="md5"): a content fingerprint any SQL engine
+ * reproduces byte-for-byte. */
+void md5_u64_bytes(const int64_t *offsets, const uint8_t *data, int64_t n,
+                   uint64_t *out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t st[4];
+        md5_state(data + offsets[i],
+                  (uint64_t)(offsets[i + 1] - offsets[i]), st);
+        out[i] = ((uint64_t)__builtin_bswap32(st[0]) << 32)
+               | (uint64_t)__builtin_bswap32(st[1]);
     }
 }
 

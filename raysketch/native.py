@@ -106,6 +106,8 @@ def _build_and_load():
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.md5_u16_bytes.restype = None
     lib.md5_u16_bytes.argtypes = [p_i64, p_u8, i64, p_u16]
+    lib.md5_u64_bytes.restype = None
+    lib.md5_u64_bytes.argtypes = [p_i64, p_u8, i64, p_u64]
     lib.xorf_build.restype = ctypes.c_int
     lib.xorf_build.argtypes = [p_u64, i64, ctypes.c_int, ctypes.c_int,
                                ctypes.c_uint32, ctypes.c_uint64, i64,

@@ -1388,6 +1388,33 @@ def _md5_u16(col) -> np.ndarray:
     return np.frombuffer(buf, dtype=">u2").astype(np.uint16)
 
 
+def _md5_u64(col) -> np.ndarray:
+    """Big-endian u64 of each string's first eight md5 digest bytes
+    (the DuckDB ``('0x' || substr(md5(k), 1, 16))::UBIGINT`` value) --
+    the cross-engine content-fingerprint kernel.  Batch C kernel when
+    available, bit-identical hashlib loop otherwise (parity pinned by
+    tests/test_native.py)."""
+    from .hashing import _string_buffers
+    from .native import get_lib
+
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return np.zeros(0, dtype=np.uint64)
+        return np.concatenate([_md5_u64(c) for c in col.chunks])
+    lib = get_lib()
+    if lib is not None:
+        offsets, data = _string_buffers(col)
+        out = np.empty(len(col), dtype=np.uint64)
+        lib.md5_u64_bytes(np.ascontiguousarray(offsets, dtype=np.int64),
+                          np.ascontiguousarray(data, dtype=np.uint8),
+                          len(col), out)
+        return out
+    import hashlib
+    buf = b"".join(hashlib.md5(v.encode()).digest()[:8]
+                   for v in col.to_pylist())
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
 def exact_quantiles_via_counts(ds, value_fn, qs: list[float],
                                value_name: str = "v"):
     """EXACT distributed quantiles through a value-counts histogram:

@@ -221,13 +221,26 @@ def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text",
-                 id_col: str = "doc_id") -> pa.Table:
+                 id_col: str = "doc_id", kernel: str = "default") -> pa.Table:
     """Deterministic 64-bit content fingerprint of the normalized text
     (whitespace-collapsed, lowercased) -- rolling content hash usable as an
-    exact-dedup key that ignores formatting differences."""
+    exact-dedup key that ignores formatting differences.
+
+    kernel="default": the engine's configured string hash (xxh3) --
+    fastest, cross-compatible with the reference's XxHash3 anchor.
+    kernel="md5": big-endian u64 of the first 8 md5 digest bytes, the
+    value of ``('0x' || substr(md5(norm), 1, 16))::UBIGINT`` -- any SQL
+    engine reproduces the fingerprint byte-for-byte (the same
+    cross-engine contract as hash_sample's md5 selector)."""
     norm = pc.utf8_lower(
         pc.replace_substring_regex(batch[text_col], r"\s+", " "))
-    h = hash_strings(norm)
+    if kernel == "md5":
+        from .pipeline import _md5_u64
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        h = _md5_u64(norm)
+    else:
+        h = hash_strings(norm)
     return pa.table({
         id_col: batch[id_col],
         "fingerprint": pa.array(h, pa.uint64()),

@@ -275,3 +275,56 @@ def test_md5_u16_native_bit_identical(monkeypatch, numpy_only):
     monkeypatch.setattr(native, "_LIB", lib)
     got_c = pipeline._md5_u16(col)
     assert np.array_equal(got_c, exp)
+
+
+def test_md5_u64_native_bit_identical(monkeypatch, numpy_only):
+    """Batch C md5 u64 kernel (first eight digest bytes, big-endian --
+    the fingerprint kernel / DuckDB ('0x'||substr(md5(k),1,16))::UBIGINT
+    value) must match the hashlib loop byte-for-byte, sliced arrays
+    included."""
+    import hashlib
+    import pyarrow as pa
+    from raysketch import pipeline
+
+    strs = ["", "a", "abc", "hello world", "x" * 55, "y" * 56, "z" * 64,
+            "w" * 65, "long" * 500, "\x00nul\x00", "日本語テキスト",
+            "https://example.com/path?q=1"] * 7
+    col = pa.array(strs, type=pa.string())
+    exp = np.frombuffer(
+        b"".join(hashlib.md5(v.encode()).digest()[:8] for v in strs),
+        dtype=">u8").astype(np.uint64)
+    got_np = pipeline._md5_u64(col)          # hashlib fallback (numpy_only)
+    assert np.array_equal(got_np, exp)
+    monkeypatch.setattr(native, "_LIB", lib)
+    got_c = pipeline._md5_u64(col)
+    assert np.array_equal(got_c, exp)
+    assert np.array_equal(pipeline._md5_u64(col.slice(3, 9)), exp[3:12])
+
+
+def test_fingerprints_md5_kernel_matches_sql_definition():
+    """fingerprints(kernel='md5') must equal the DuckDB expression it is
+    defined as, normalization included (whitespace collapse THEN lower);
+    the default kernel must differ only in the hash, not the key set."""
+    import duckdb
+    import pyarrow as pa
+    from raysketch.text import fingerprints
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["Hello  World", "hello world", "A\tB\nC",
+                          "a b c", "", "  LEADING and trailing  "]),
+    })
+    got = fingerprints(t, kernel="md5")
+    want = duckdb.sql(
+        "SELECT ('0x' || substr(md5("
+        r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+        "), 1, 16))::UBIGINT AS fp FROM t").fetchnumpy()["fp"]
+    assert np.array_equal(
+        np.asarray(got["fingerprint"], dtype=np.uint64),
+        want.astype(np.uint64))
+    # same normalization => formatting variants of one text collide on
+    # BOTH kernels
+    d = fingerprints(t)["fingerprint"].to_pylist()
+    m = got["fingerprint"].to_pylist()
+    assert d[0] == d[1] and m[0] == m[1]
+    assert d[2] == d[3] and m[2] == m[3]
