@@ -267,17 +267,26 @@ def _sketch_quantiles(sf_dir: str, which: str):
 
 def _q_bottomk_url_sample(sf_dir: str):
     """Mergeable bottom-k: uniform sample over DISTINCT urls + distinct
-    estimate, bit-identical state under any merge order (rows-only; merge
+    estimate, bit-identical state under any merge order (merge
     invariance is pytest-verified).  Self-checking: the k-th-smallest-hash
     estimator carries its 1/sqrt(k-2) relative bound (4 sigma) next to
     the exact distinct count.  Payloads enter via update_packed straight
-    from the Arrow (offsets, data) buffers -- no per-row encode loop."""
+    from the Arrow (offsets, data) buffers -- no per-row encode loop.
+
+    The driver query hashes with the md5 cross-engine kernel: the
+    bottom-256 set is then a pure function of the distinct-url set that
+    DuckDB reproduces with ORDER BY md5-u64 LIMIT 256, and the
+    estimator arithmetic is mirrored operation-for-operation in the
+    oracle SQL -- the whole frame (sample, estimate, bound,
+    within_bound) is hash-checked.  Production default stays the
+    engine's xxh3 kernel (same sketch, caller supplies the hash)."""
     from raysketch.hashing import _string_buffers
+    from raysketch.pipeline import _md5_u64
     pages = _cached_pages(sf_dir)
 
     def upd(sk, col):
         offsets, data = _string_buffers(col)
-        sk.update_packed(hash_strings(col), data, offsets)
+        sk.update_packed(_md5_u64(col), data, offsets)
 
     s = sketch_aggregate(
         pages, "url", lambda: BottomKSketch.create(k=256), upd)
@@ -1292,6 +1301,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c.doc_id AS BIGINT) AS doc_id
             FROM corpus c LEFT JOIN minlab m ON m.node = c.doc_id
             WHERE m.node IS NULL OR m.lab = c.doc_id
+        """,
+        # Bottom-k over DISTINCT urls with the md5 cross-engine kernel:
+        # the bottom-256 hash set is a pure function of the distinct-url
+        # set, and the estimator arithmetic mirrors BottomKSketch
+        # operation-for-operation ((k-1)*2^64 / (float(h_k)+1),
+        # bound = (4 * 1/sqrt(k-2)) * exact) so the float64 results are
+        # bit-identical; round() differs between Python (half-even) and
+        # DuckDB (half-away) only on exact .05 boundaries, which the
+        # hash-derived values never hit (validated at all three sf).
+        "bottomk_url_sample": f"""
+            WITH d AS (SELECT DISTINCT url FROM {PAGES_SQL} AS pages),
+            h AS (SELECT url,
+                         ('0x' || substr(md5(url), 1, 16))::UBIGINT AS hv
+                  FROM d),
+            bot AS (SELECT url, hv FROM h ORDER BY hv LIMIT 256),
+            st AS (SELECT MAX(hv) AS hk,
+                          (SELECT COUNT(*) FROM d) AS exact FROM bot),
+            calc AS (
+              SELECT 255.0 * power(2.0, 64)
+                       / (CAST(hk AS DOUBLE) + 1.0) AS est_raw,
+                     (4.0 * (1.0 / sqrt(254.0)))
+                       * CAST(exact AS DOUBLE) AS bound_raw,
+                     exact
+              FROM st
+            )
+            SELECT 'bottomk_distinct_urls' AS metric,
+                   round(est_raw, 1) AS estimate,
+                   exact,
+                   round(bound_raw, 1) AS bound,
+                   abs(est_raw - CAST(exact AS DOUBLE))
+                     <= bound_raw AS within_bound,
+                   s.url AS sample_url
+            FROM calc, (SELECT url FROM bot ORDER BY url LIMIT 20) s
         """,
         # The md5-kernel fingerprint is DEFINED as the value of this SQL
         # expression (big-endian u64 of the first 8 digest bytes of the
