@@ -555,9 +555,15 @@ def _q_neardup_dedup(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with the md5 cross-engine token-hash
+    kernel: the 4x16-bit pigeonhole bands are EXACT for hamming <= 3
+    (any such pair agrees on >= 1 band), and with a SQL-reproducible
+    token hash the whole pair set is deterministic -- checked against
+    an all-pairs bit_count(xor) oracle over SQL-computed signatures.
+    Production default stays the engine's xxh3 token hash."""
     from raysketch.dedup import simhash_pairs
     return simhash_pairs(_neardup_corpus(sf_dir), "text", "doc_id",
-                         max_hamming=3)
+                         max_hamming=3, kernel="md5")
 
 
 def _q_langid(sf_dir: str):
@@ -1334,6 +1340,50 @@ def oracle_sql() -> dict[str, str]:
                      <= bound_raw AS within_bound,
                    s.url AS sample_url
             FROM calc, (SELECT url FROM bot ORDER BY url LIMIT 20) s
+        """,
+        # SimHash pairs: signatures recomputed IN SQL from md5-u64 token
+        # hashes (HUGEINT casts are load-bearing -- a mixed
+        # UBIGINT/BIGINT >> resolves through DOUBLE and silently zeroes
+        # the low ~11 mantissa-lost bits; SUM over UBIGINT masks too,
+        # hence bit_or), then exact all-pairs Hamming.  The engine's
+        # banded candidate stage is exact for hamming <= 3 by
+        # pigeonhole, so the outputs are equal sets, not just close.
+        "simhash_neardup_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, substr(text, 21) FROM documents
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\\s+')) AS tk
+              FROM corpus
+            ),
+            th AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(tk), 1, 16))::UBIGINT
+                               AS HUGEINT) AS h
+                   FROM tok),
+            bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+            bitsum AS (
+              SELECT doc_id, b AS bit,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th CROSS JOIN bits
+              GROUP BY 1, 2
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(bit_or(CASE WHEN s > 0
+                                      THEN (CAST(1 AS HUGEINT) << bit)
+                                      ELSE CAST(0 AS HUGEINT) END)
+                          AS UBIGINT) AS sh
+              FROM bitsum GROUP BY doc_id
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         # The md5-kernel fingerprint is DEFINED as the value of this SQL
         # expression (big-endian u64 of the first 8 digest bytes of the

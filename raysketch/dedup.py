@@ -792,9 +792,13 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, shingle_k: int = 5,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(texts_col: pa.Array) -> np.ndarray:
+def simhash_batch(texts_col: pa.Array, kernel: str = "default") -> np.ndarray:
     """64-bit SimHash over whitespace-token hashes, vectorized per batch.
-    Null texts count as empty (trailing nulls otherwise crash reduceat)."""
+    Null texts count as empty (trailing nulls otherwise crash reduceat).
+
+    kernel="md5": per-token hash is the md5-u64 cross-engine kernel, so
+    the signature (and therefore the exact-Hamming pair set) is
+    reproducible in any SQL engine; default stays the engine hash."""
     import pyarrow.compute as pc
     toks = pc.split_pattern_regex(
         pc.utf8_lower(pc.fill_null(texts_col, "")), r"\s+")
@@ -802,7 +806,11 @@ def simhash_batch(texts_col: pa.Array) -> np.ndarray:
         toks = toks.combine_chunks()
     offsets = np.asarray(toks.offsets)
     flat = toks.values
-    th = hash_strings(flat)
+    if kernel == "md5":
+        from .pipeline import _md5_u64
+        th = _md5_u64(flat)
+    else:
+        th = hash_strings(flat)
     n = len(texts_col)
     out = np.zeros(n, dtype=U64)
     bits = ((th[:, None] >> (np.arange(64, dtype=U64))) & U64(1)).astype(np.int64)
@@ -819,15 +827,17 @@ def simhash_batch(texts_col: pa.Array) -> np.ndarray:
 
 def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
                   num_partitions: int = 8, hot_cap: int = HOT_BUCKET_CAP,
-                  collect: bool = True):
+                  collect: bool = True, kernel: str = "default"):
     """Near-dup pairs by SimHash: pigeonhole over 4 x 16-bit bands (any pair
     with hamming <= 3 must agree exactly on >= 1 band); candidates are
     verified by exact Hamming distance after hash-joining the simhashes
     onto the pair rows (vectorized SWAR popcount, no driver dict).
-    collect=False returns the distributed pair Dataset (_pairs_result)."""
+    collect=False returns the distributed pair Dataset (_pairs_result).
+    kernel="md5" makes the signatures (hence the exact pair set)
+    SQL-reproducible -- see simhash_batch."""
 
     def compute(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[text_col])
+        sh = simhash_batch(batch[text_col], kernel=kernel)
         return pa.table({"doc_id": batch[id_col],
                          "simhash": pa.array(sh.view(np.int64), pa.int64())})
 

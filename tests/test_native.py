@@ -328,3 +328,43 @@ def test_fingerprints_md5_kernel_matches_sql_definition():
     m = got["fingerprint"].to_pylist()
     assert d[0] == d[1] and m[0] == m[1]
     assert d[2] == d[3] and m[2] == m[3]
+
+
+def test_simhash_md5_kernel_matches_sql_definition():
+    """simhash_batch(kernel='md5') must equal the signature the driver
+    oracle recomputes in DuckDB (HUGEINT bit ops -- a mixed-type >> in
+    DuckDB resolves through DOUBLE and zeroes low bits), on adversarial
+    texts: nulls, empties, edge/consecutive whitespace, unicode, case."""
+    import duckdb
+    import pyarrow as pa
+    from raysketch.dedup import simhash_batch
+
+    texts = ["Hello  World", "hello world", "  leading", "trailing  ",
+             "", None, "one", "a b c d e f", "日本語 テキスト",
+             "tab\tsep\nline", "repeat repeat repeat x", " ", "\t\t"]
+    col = pa.array(texts, pa.string())
+    eng = simhash_batch(col, kernel="md5")
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts),
+                                               dtype=np.int64)),
+                  "text": col})
+    got = duckdb.sql(r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+              lower(coalesce(text, '')), '\s+')) AS tk FROM t
+        ),
+        th AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tk), 1, 16))::UBIGINT
+                           AS HUGEINT) AS h FROM tok),
+        bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+        bitsum AS (
+          SELECT doc_id, b AS bit,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN bits GROUP BY 1, 2
+        )
+        SELECT CAST(bit_or(CASE WHEN s > 0
+                                THEN (CAST(1 AS HUGEINT) << bit)
+                                ELSE CAST(0 AS HUGEINT) END)
+                    AS UBIGINT) AS sh
+        FROM bitsum GROUP BY doc_id ORDER BY doc_id
+    """).fetchnumpy()["sh"].astype(np.uint64)
+    assert np.array_equal(eng, got)
